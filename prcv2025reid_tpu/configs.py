@@ -1,0 +1,239 @@
+"""Typed configuration for the TPU Re-ID framework.
+
+Single source of truth for every hyperparameter, mirroring the reference's
+``TrainingConfig`` (reference: configs/config.py:7-185) but with the
+getattr-with-divergent-defaults pattern eliminated: every consumer reads a
+declared, typed field.  TPU/JAX-specific knobs (mesh shape, dtype policy,
+Pallas toggles) are new fields with no reference counterpart.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class TrainingConfig:
+    # ----- data (reference: configs/config.py:10-16) -----
+    data_root: str = "./data/train"
+    json_file: str = "./data/train/text_annos.json"
+    val_ratio: float = 0.2
+    seed: int = 42
+
+    # ----- model (reference: configs/config.py:18-48) -----
+    clip_model_name: str = "openai/clip-vit-base-patch16"
+    clip_weights_path: Optional[str] = None  # local HF snapshot / .npz; None = random init
+    fusion_dim: int = 512
+    vision_hidden_dim: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    vision_mlp_dim: int = 3072
+    text_hidden_dim: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    text_mlp_dim: int = 2048
+    text_vocab_size: int = 49408
+    text_context_length: int = 77
+    patch_size: int = 16
+    image_size: int = 224
+
+    # MER (reference: configs/config.py:26-29)
+    enable_mer: bool = True
+    mer_lora_rank: int = 4
+    mer_lora_alpha: float = 1.0
+
+    modalities: Tuple[str, ...] = ("vis", "nir", "sk", "cp", "text")
+    freeze_text_backbone: bool = False
+    drop_path: float = 0.15
+    dropout_rate: float = 0.5
+
+    # ----- batching (reference: configs/config.py:50-61) -----
+    num_ids_per_batch: int = 3  # P
+    instances_per_id: int = 2  # K (>=2 to guarantee vis/non-vis pairing)
+    allow_id_reuse: bool = True
+    sampling_fallback: bool = True
+    min_modal_coverage: float = 0.8
+    force_modal_pairs: bool = True
+    gradient_accumulation_steps: int = 1
+    target_effective_batch: int = 16  # reference: train.py:1481-1488
+    freeze_backbone: bool = True
+    num_epochs: int = 60
+    steps_per_epoch: Optional[int] = None  # None = derived from sampler estimate
+
+    # ----- layered learning rates (reference: configs/config.py:65-77) -----
+    base_learning_rate: float = 5e-6  # CLIP shared trunk
+    mer_learning_rate: float = 2e-5  # LoRA experts
+    tokenizer_learning_rate: float = 2e-5  # non-shared patch embeds
+    fusion_learning_rate: float = 2e-5  # projections / fusion / other
+    head_learning_rate: float = 3e-3  # classifier head
+    head_lr_warmup_epochs: int = 2  # head LR step-down start epoch
+    weight_decay: float = 1e-4
+    warmup_epochs: int = 5
+    scheduler: str = "cosine"
+    lr_floor_ratio: float = 0.01  # warmup start / cosine floor (reference: train.py:1250-1262)
+
+    # stability (reference: configs/config.py:80-82, train.py:975-1045)
+    adaptive_gradient_clip: bool = True
+    max_grad_norm: float = 0.5
+    adaptive_clip_min: float = 0.5
+    adaptive_clip_max: float = 3.0
+    adaptive_clip_pct: float = 0.70
+    adaptive_clip_margin: float = 1.15
+    adaptive_clip_window: int = 10
+
+    # ----- losses (reference: configs/config.py:84-116,173) -----
+    ce_weight: float = 1.0
+    label_smoothing: float = 0.1
+    sdm_weight_warmup_epochs: int = 1
+    sdm_weight_schedule: Tuple[float, ...] = (0.1, 0.3, 0.5)
+    sdm_weight_initial: float = 0.1
+    sdm_weight_final: float = 0.5
+    sdm_weight_max: float = 0.5
+    contrastive_weight: float = 0.0  # live value, driven by the SDM scheduler
+    sdm_semantic_dim: int = 512
+    sdm_num_heads: int = 8
+    sdm_temperature: float = 0.2
+    sdm_init_temperature: float = 0.18
+    sdm_final_temperature: float = 0.16
+    sdm_fallback_temperature: float = 0.20
+    sdm_temp_warmup_epochs: int = 3
+
+    # fusion module (reference: configs/config.py:112-114)
+    fusion_num_heads: int = 8
+    fusion_mlp_ratio: float = 2.0
+    fusion_dropout: float = 0.1
+
+    # ----- augmentation (reference: configs/config.py:119-122, datasets/dataset.py:259-307) -----
+    random_flip: bool = True
+    random_crop: bool = True
+    crop_scale_min: float = 0.8  # relaxed to 0.6 at epoch 5 when stable (train.py:1630-1644)
+    color_jitter: bool = True
+    color_jitter_strength: float = 0.2
+    random_erase: float = 0.3
+
+    # modality dropout (reference: configs/config.py:124-127)
+    modality_dropout: float = 0.15
+    modality_dropout_warmup_epochs: int = 3
+    min_modalities: int = 1
+
+    # pair coverage health line (reference: configs/config.py:136-137)
+    pair_coverage_target: float = 0.85
+    pair_coverage_window: int = 100
+
+    # ----- host pipeline -----
+    num_workers: int = 2
+    prefetch_batches: int = 2
+    tokenizer_vocab_path: Optional[str] = None  # CLIP vocab.json/merges.txt dir; None = hashed fallback
+
+    # ----- save / eval (reference: configs/config.py:146-171) -----
+    save_dir: str = "./checkpoints"
+    log_dir: str = "./logs"
+    save_freq: int = 20
+    eval_freq: int = 15
+    eval_sample_ratio: float = 0.3
+    eval_include_patterns: Tuple[str, ...] = (
+        "single/nir",
+        "single/sk",
+        "single/cp",
+        "single/text",
+        "quad/nir+sk+cp+text",
+    )
+    eval_every_n_epoch: int = 1
+    do_eval: bool = True
+    eval_cache_dir: str = "./.eval_cache"
+    eval_cache_tag: str = "val_v1"
+    eval_batch_size: int = 64
+    inference_batch_size: int = 8
+    best_model_path: str = "./checkpoints/best_model"
+
+    # ----- TPU-specific (no reference counterpart) -----
+    compute_dtype: str = "bfloat16"  # trunk compute; losses/stats stay fp32
+    param_dtype: str = "float32"
+    mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    use_pallas_attention: bool = True  # Pallas fused attention on TPU; XLA fallback elsewhere
+    rank_topk: int = 100  # submission export depth (tools/eval_mm_protocol.py:629-643)
+
+    # populated at runtime
+    num_classes: Optional[int] = None
+
+    @property
+    def batch_size(self) -> int:
+        """P*K, never set manually (reference: configs/config.py:54)."""
+        return self.num_ids_per_batch * self.instances_per_id
+
+    @property
+    def vision_modalities(self) -> Tuple[str, ...]:
+        return tuple(m for m in self.modalities if m != "text")
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    def replace(self, **kw) -> "TrainingConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TrainingConfig":
+        raw = json.loads(s)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in raw.items():
+            if k not in fields:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
+
+def apply_cli_overrides(config: TrainingConfig, argv: List[str]) -> TrainingConfig:
+    """Apply ``--key=value`` CLI overrides onto a config.
+
+    The reference has no CLI for training (SURVEY.md 5.6); this closes that gap
+    with typed parsing driven by the dataclass field types.
+    """
+    fields = {f.name: f for f in dataclasses.fields(TrainingConfig)}
+    updates = {}
+    for arg in argv:
+        if not arg.startswith("--"):
+            raise ValueError(f"unrecognized argument: {arg!r} (expected --key=value)")
+        if "=" not in arg:
+            key, raw = arg[2:], "true"
+        else:
+            key, raw = arg[2:].split("=", 1)
+        key = key.replace("-", "_")
+        if key not in fields:
+            raise ValueError(f"unknown config field: {key!r}")
+        updates[key] = _parse_value(raw, config, key)
+    return config.replace(**updates)
+
+
+def _parse_value(raw: str, config: TrainingConfig, key: str):
+    current = getattr(config, key)
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        items = [x for x in raw.split(",") if x]
+        if current and isinstance(current[0], float):
+            return tuple(float(x) for x in items)
+        if current and isinstance(current[0], int):
+            return tuple(int(x) for x in items)
+        return tuple(items)
+    if current is None:
+        if raw.lower() in ("none", "null", ""):
+            return None
+        try:
+            return int(raw)
+        except ValueError:
+            return raw
+    return raw
