@@ -1,0 +1,229 @@
+"""MER (Modality-Expert Router) layers — TPU-native LoRA routing.
+
+Reference semantics: models/mer_lora.py.  Each linear is a shared trunk plus a
+per-modality LoRA (rank 4, alpha 1, B zero-init so delta-W = 0 at step 0).
+
+TPU-native redesign (not a translation): the reference holds a ModuleDict of
+per-modality adapters and dispatches on a *string* per forward call
+(models/mer_lora.py:80-99) — dynamic Python control flow.  Here all experts
+are stacked into dense tensors ``lora_A [M, in, r]`` / ``lora_B [M, r, out]``
+and the active expert is selected with a one-hot *mask* on the thin rank
+dimension:
+
+    z     = einsum(x, lora_A)          # [..., M, r]   — one matmul, width M*r
+    delta = einsum(z * onehot, lora_B) # [..., out]
+
+Two thin matmuls (M*r = 16 columns), static shapes, no gather/scatter; the
+whole mixed-modality batch goes through the trunk in ONE call with per-sample
+routing.  XLA fuses the masking into the matmuls.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from prcv2025reid_tpu.ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+def _route_mask(onehot: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a [B, M] expert one-hot against z [B, ..., M, r].
+
+    The expert axis is second-to-last in z (rank axis is last) — the reshape
+    must pin M there explicitly, never rely on right-aligned broadcasting
+    (M can equal r and silently mis-broadcast)."""
+    extra = z.ndim - onehot.ndim - 1
+    return onehot.reshape(
+        onehot.shape[:1] + (1,) * extra + (onehot.shape[1], 1)
+    )
+
+
+class MERDense(nn.Module):
+    """Shared Dense + stacked per-modality LoRA (reference: models/mer_lora.py:52-106)."""
+
+    features: int
+    num_experts: int
+    rank: int = 4
+    alpha: float = 1.0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, expert_onehot: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, ..., in_dim]; expert_onehot: [B, num_experts] (rows may be
+        any convex weights, typically one-hot)."""
+        shared = nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="shared",
+        )(x)
+
+        in_dim = x.shape[-1]
+        # A: kaiming-uniform like the reference (models/mer_lora.py:37);
+        # B: zeros so the adapter is a no-op at init (models/mer_lora.py:38).
+        lora_a = self.param(
+            "lora_A",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (self.num_experts, in_dim, self.rank),
+            self.param_dtype,
+        )
+        lora_b = self.param(
+            "lora_B",
+            nn.initializers.zeros,
+            (self.num_experts, self.rank, self.features),
+            self.param_dtype,
+        )
+        dt = self.dtype or x.dtype
+        xa = x.astype(dt)
+        z = jnp.einsum("...i,mir->...mr", xa, lora_a.astype(dt))
+        z = z * _route_mask(expert_onehot, z).astype(dt)
+        delta = jnp.einsum("...mr,mro->...o", z, lora_b.astype(dt))
+        return shared + delta * (self.alpha / self.rank)
+
+
+class MERAttention(nn.Module):
+    """MHA with MER-routed Q/K/V/out projections (reference: models/mer_lora.py:109-231).
+
+    The attention core is pluggable (Pallas fused kernel on TPU / XLA einsum
+    elsewhere) — the TPU counterpart of the reference's SDPA/flash call.
+    """
+
+    num_heads: int
+    num_experts: int
+    rank: int = 4
+    alpha: float = 1.0
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, expert_onehot: jnp.ndarray) -> jnp.ndarray:
+        B, S, D = x.shape
+        assert D % self.num_heads == 0
+        head_dim = D // self.num_heads
+        mer = dict(
+            num_experts=self.num_experts,
+            rank=self.rank,
+            alpha=self.alpha,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        q = MERDense(D, name="q_proj", **mer)(x, expert_onehot)
+        k = MERDense(D, name="k_proj", **mer)(x, expert_onehot)
+        v = MERDense(D, name="v_proj", **mer)(x, expert_onehot)
+
+        def split(t):
+            return t.reshape(B, S, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(
+            split(q), split(k), split(v), impl=self.attn_impl
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return MERDense(D, name="out_proj", **mer)(out, expert_onehot)
+
+
+class MERMlp(nn.Module):
+    """fc1 -> GELU -> fc2, both MER-routed (reference: models/mer_lora.py:246-280).
+
+    The reference uses torch's exact (erf) GELU, not CLIP's quick_gelu —
+    reproduced here deliberately.
+    """
+
+    mlp_dim: int
+    num_experts: int
+    rank: int = 4
+    alpha: float = 1.0
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, expert_onehot: jnp.ndarray) -> jnp.ndarray:
+        D = x.shape[-1]
+        mer = dict(
+            num_experts=self.num_experts,
+            rank=self.rank,
+            alpha=self.alpha,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        h = MERDense(self.mlp_dim, name="fc1", **mer)(x, expert_onehot)
+        h = jax.nn.gelu(h, approximate=False)
+        return MERDense(D, name="fc2", **mer)(h, expert_onehot)
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Stochastic depth on the residual branch (reference: models/clip_backbone.py:126-142)."""
+    if deterministic or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
+class MERBlock(nn.Module):
+    """Pre-LN transformer block with MER routing + DropPath.
+
+    Reference: models/clip_backbone.py:15-123 (MERTransformerBlock).
+    """
+
+    num_heads: int
+    mlp_dim: int
+    num_experts: int
+    rank: int = 4
+    alpha: float = 1.0
+    drop_path_rate: float = 0.0
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        expert_onehot: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+        attn_out = MERAttention(
+            num_heads=self.num_heads,
+            num_experts=self.num_experts,
+            rank=self.rank,
+            alpha=self.alpha,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            attn_impl=self.attn_impl,
+            name="attn",
+        )(nn.LayerNorm(name="ln1", **ln)(x), expert_onehot)
+        rng1 = (
+            self.make_rng("droppath")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        x = x + drop_path(attn_out, self.drop_path_rate, deterministic, rng1)
+
+        mlp_out = MERMlp(
+            mlp_dim=self.mlp_dim,
+            num_experts=self.num_experts,
+            rank=self.rank,
+            alpha=self.alpha,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="mlp",
+        )(nn.LayerNorm(name="ln2", **ln)(x), expert_onehot)
+        rng2 = (
+            self.make_rng("droppath")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        x = x + drop_path(mlp_out, self.drop_path_rate, deterministic, rng2)
+        return x

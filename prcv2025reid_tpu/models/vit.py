@@ -1,0 +1,202 @@
+"""Vision trunk: per-modality patch embedding + MER transformer stack.
+
+Reference semantics:
+- Non-shared per-modality patch embeds, 1-channel for nir/sk with
+  RGB->grayscale reduction (models/patch_embeds.py:13-171).
+- Trunk: patchify -> +CLS -> +pos-embed -> 12 MER blocks -> final LN -> CLS
+  feature (models/clip_backbone.py:254-286).  NOTE: the reference does NOT
+  apply CLIP's ``pre_layrnorm`` before the blocks; that deviation from stock
+  CLIP is reproduced intentionally for output parity.
+
+TPU-native redesign: patchify is a reshape + matmul (the 16x16/stride-16
+"conv" is exactly a linear map on non-overlapping patches) — it lands on the
+MXU directly with no convolution windowing.  Modality routing is static: the
+stacked input layout [B, Mv, H, W, 3] puts each modality in a fixed slot, so
+patch-embed selection is an unrolled (trace-time) loop and the trunk runs ONCE
+over the flattened [B*Mv, 197, D] batch with slot-indexed expert one-hots.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from prcv2025reid_tpu.models.mer import MERBlock
+from prcv2025reid_tpu.utils.modalities import SINGLE_CHANNEL, VISION_MODALITIES
+
+
+def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, num_patches, P*P*C] with (i, j, c) ordering inside
+    a patch — the layout the converter writes HF conv kernels into."""
+    N, H, W, C = images.shape
+    P = patch_size
+    h, w = H // P, W // P
+    x = images.reshape(N, h, P, w, P, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [N, h, w, P, P, C]
+    return x.reshape(N, h * w, P * P * C)
+
+
+class PatchEmbed(nn.Module):
+    """Single-modality patch embedding (reference: models/patch_embeds.py:13-76).
+
+    For 1-channel modalities the RGB input is reduced to grayscale by channel
+    mean first (the reference's 3->1 runtime fallback at patch_embeds.py:63-65,
+    which is the live path since the host pipeline always emits RGB tensors).
+    """
+
+    embed_dim: int
+    patch_size: int = 16
+    in_chans: int = 3
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        P = self.patch_size
+        if self.in_chans == 1 and images.shape[-1] == 3:
+            images = images.mean(axis=-1, keepdims=True)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (P, P, self.in_chans, self.embed_dim),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.embed_dim,), self.param_dtype
+        )
+        dt = self.dtype or images.dtype
+        patches = patchify(images.astype(dt), P)
+        w = kernel.reshape(P * P * self.in_chans, self.embed_dim).astype(dt)
+        return patches @ w + bias.astype(dt)
+
+
+class MERVisionTransformer(nn.Module):
+    """The MER-routed ViT-B/16 trunk (reference: models/clip_backbone.py:145-286)."""
+
+    embed_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    patch_size: int = 16
+    image_size: int = 224
+    fusion_dim: int = 512
+    lora_rank: int = 4
+    lora_alpha: float = 1.0
+    drop_path: float = 0.0
+    modalities: Tuple[str, ...] = VISION_MODALITIES
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        num_patches = (self.image_size // self.patch_size) ** 2
+        self.patch_embeds = {
+            mod: PatchEmbed(
+                embed_dim=self.embed_dim,
+                patch_size=self.patch_size,
+                in_chans=1 if mod in SINGLE_CHANNEL else 3,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"patch_embed_{mod}",
+            )
+            for mod in self.modalities
+        }
+        self.cls_token = self.param(
+            "cls_token",
+            nn.initializers.normal(0.02),
+            (1, 1, self.embed_dim),
+            self.param_dtype,
+        )
+        self.pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (num_patches + 1, self.embed_dim),
+            self.param_dtype,
+        )
+        n_exp = len(self.modalities)
+        last = max(1, self.num_layers - 1)
+        # Linearly scaled drop-path per depth (reference: clip_backbone.py:196-207).
+        self.blocks = [
+            MERBlock(
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                num_experts=n_exp,
+                rank=self.lora_rank,
+                alpha=self.lora_alpha,
+                drop_path_rate=self.drop_path * (i / last),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                attn_impl=self.attn_impl,
+                name=f"block_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        self.ln_final = nn.LayerNorm(
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="ln_final",
+        )
+        self.proj = nn.Dense(
+            self.fusion_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="proj",
+        )
+
+    def trunk(
+        self,
+        patch_tokens: jnp.ndarray,  # [N, num_patches, D]
+        expert_onehot: jnp.ndarray,  # [N, Mv]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Shared trunk: CLS + pos + blocks + LN -> [N, fusion_dim]."""
+        N = patch_tokens.shape[0]
+        dt = self.dtype or patch_tokens.dtype
+        cls = jnp.broadcast_to(
+            self.cls_token.astype(dt), (N, 1, self.embed_dim)
+        )
+        x = jnp.concatenate([cls, patch_tokens.astype(dt)], axis=1)
+        x = x + self.pos_embed.astype(dt)[None]
+        for block in self.blocks:
+            x = block(x, expert_onehot, deterministic=deterministic)
+        x = self.ln_final(x)
+        return self.proj(x[:, 0])
+
+    def encode_single(
+        self, images: jnp.ndarray, modality_id: int, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Encode one modality: images [B, H, W, 3] -> [B, fusion_dim].
+
+        modality_id is a static Python int (slot in VISION_MODALITIES).
+        """
+        mod = self.modalities[modality_id]
+        tokens = self.patch_embeds[mod](images)
+        onehot = jnp.zeros((images.shape[0], len(self.modalities)), tokens.dtype)
+        onehot = onehot.at[:, modality_id].set(1.0)
+        return self.trunk(tokens, onehot, deterministic=deterministic)
+
+    def encode_stacked(
+        self, images: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Encode all modalities at once: [B, Mv, H, W, 3] -> [B, Mv, fusion_dim].
+
+        One trunk call over the flattened [B*Mv] batch — the TPU replacement
+        for the reference's 4 sequential per-modality forwards
+        (models/model.py:355-399).
+        """
+        B, Mv = images.shape[:2]
+        assert Mv == len(self.modalities)
+        token_list = [
+            self.patch_embeds[mod](images[:, i]) for i, mod in enumerate(self.modalities)
+        ]
+        tokens = jnp.stack(token_list, axis=1)  # [B, Mv, P, D]
+        flat = tokens.reshape((B * Mv,) + tokens.shape[2:])
+        onehot = jnp.tile(jnp.eye(Mv, dtype=flat.dtype), (B, 1))  # [B*Mv, Mv]
+        feats = self.trunk(flat, onehot, deterministic=deterministic)
+        return feats.reshape(B, Mv, -1)
+
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        return self.encode_stacked(images, deterministic=deterministic)

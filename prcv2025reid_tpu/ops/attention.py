@@ -1,0 +1,79 @@
+"""Multi-head attention core with pluggable backends.
+
+The reference runs attention through torch SDPA/FlashAttention
+(models/mer_lora.py:170-190).  The TPU-native equivalents:
+
+- ``xla``: plain einsum attention with fp32 softmax — XLA fuses this well and
+  it is the portable default (CPU tests, interpret mode).
+- ``pallas``: fused single-block Pallas kernel for the 197-token vision
+  sequence (see prcv2025reid_tpu/ops/pallas_attention.py); the sequence fits
+  VMEM whole, so one block per (batch, head) is the speed-of-light shape.
+
+All backends take q/k/v shaped [B, H, S, Dh] and return [B, H, S, Dh].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    mask: Optional[jnp.ndarray] = None,  # [B, 1|H, S, S] additive, -inf = drop
+) -> jnp.ndarray:
+    *_, S, Dh = q.shape
+    scale = Dh**-0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    logits = logits.astype(jnp.float32)
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+        logits = jnp.where(causal_mask[None, None], logits, -1e9)
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_available() -> bool:
+    try:
+        import jax.experimental.pallas  # noqa: F401
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch to the best attention backend.
+
+    impl: 'auto' | 'xla' | 'pallas'.  'auto' prefers the Pallas fused kernel
+    on TPU for unmasked non-causal attention (the vision trunk hot path) and
+    falls back to XLA otherwise.
+    """
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if (_pallas_available() and mask is None and not causal)
+            else "xla"
+        )
+    if impl == "pallas":
+        from prcv2025reid_tpu.ops.pallas_attention import pallas_mha
+
+        return pallas_mha(q, k, v, causal=causal)
+    return xla_attention(q, k, v, causal=causal, mask=mask)

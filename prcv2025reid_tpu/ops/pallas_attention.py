@@ -1,0 +1,131 @@
+"""Pallas fused attention for the ViT trunk.
+
+The vision sequence is tiny and static (1 CLS + 196 patches = 197 tokens,
+head_dim 64 — reference: models/clip_backbone.py:269-273), so the whole
+(S, S) score matrix for one (batch, head) pair fits VMEM many times over.
+The speed-of-light shape is therefore a SINGLE-BLOCK kernel per (batch, head):
+one MXU pass for Q.K^T, an in-register fp32 softmax, one MXU pass for P.V —
+no HBM round-trip for the S x S intermediate, which is what the XLA fallback
+materializes.  This is the TPU counterpart of the reference's
+FlashAttention-via-SDPA call (models/mer_lora.py:170-190).
+
+Gradients: ``pallas_mha`` carries a custom VJP whose backward recomputes the
+softmax in plain XLA (flash-style recompute; S=197 makes this cheap), so the
+kernel is usable inside the training step.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; keep CPU imports working.
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
+    q = q_ref[0].astype(jnp.float32)  # [S, Dh]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [S, S]
+
+    if causal:
+        S = logits.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        logits = jnp.where(row >= col, logits, -1e9)
+
+    logits = logits - jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pallas_mha_fwd_impl(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, causal: bool, interpret: bool
+) -> jnp.ndarray:
+    B, H, S, Dh = q.shape
+    scale = Dh**-0.5
+    qf = q.reshape(B * H, S, Dh)
+    kf = k.reshape(B * H, S, Dh)
+    vf = v.reshape(B * H, S, Dh)
+
+    kernel = functools.partial(_attn_kernel, scale=scale, causal=causal)
+    block = pl.BlockSpec((1, S, Dh), lambda i: (i, 0, 0))
+    if _HAS_PLTPU and not interpret:
+        block = pl.BlockSpec(
+            (1, S, Dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H,),
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((B * H, S, Dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * S * Dh,
+            bytes_accessed=4 * B * H * S * Dh * q.dtype.itemsize,
+            transcendentals=B * H * S * S,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, S, Dh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_mha(q, k, v, causal: bool = False, interpret: bool = False):
+    """Fused MHA: q/k/v [B, H, S, Dh] -> [B, H, S, Dh]."""
+    return _pallas_mha_fwd_impl(q, k, v, causal, interpret)
+
+
+def _fwd(q, k, v, causal, interpret):
+    out = _pallas_mha_fwd_impl(q, k, v, causal, interpret)
+    return out, (q, k, v)
+
+
+def _bwd(causal, interpret, res, g):
+    """Flash-style recompute backward in XLA (S is small, recompute is cheap).
+
+    dV = P^T g ; dP = g V^T ; dS = P * (dP - rowsum(P * dP)) ;
+    dQ = dS K * scale ; dK = dS^T Q * scale.
+    """
+    q, k, v = res
+    Dh = q.shape[-1]
+    scale = Dh**-0.5
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if causal:
+        S = logits.shape[-1]
+        mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+        logits = jnp.where(mask[None, None], logits, -1e9)
+    p = jax.nn.softmax(logits, axis=-1)
+
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+pallas_mha.defvjp(_fwd, _bwd)
