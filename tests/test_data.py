@@ -1,0 +1,214 @@
+"""Data layer tests: dataset expansion, sampler invariants, collate masks,
+tokenizer, split integrity (SURVEY.md §4 tiers a & d)."""
+import numpy as np
+import pytest
+
+from prcv2025reid_tpu.data.dataset import MultiModalDataset, analyze_sampling_capability
+from prcv2025reid_tpu.data.pipeline import HostPipeline, collate
+from prcv2025reid_tpu.data.sampler import PKBatchSampler
+from prcv2025reid_tpu.data.split import create_split_datasets, split_ids, verify_split_integrity
+from prcv2025reid_tpu.data.tokenizer import HashTokenizer, build_tokenizer
+from prcv2025reid_tpu.utils.modalities import canon_mod
+
+
+class TestModalityCanon:
+    def test_aliases(self):
+        assert canon_mod("rgb") == "vis"
+        assert canon_mod("IR") == "nir"
+        assert canon_mod("sketch") == "sk"
+        assert canon_mod("cpencil") == "cp"
+        assert canon_mod("TEXT") == "text"
+        assert canon_mod("bogus") is None
+
+
+class TestDataset:
+    def test_record_expansion(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        assert len(ds) == 12  # 6 ids x 2 anchors
+        rec = ds.records[0]
+        assert rec.vis and rec.nir
+        assert rec.pool("sk") and rec.pool("cp")
+        assert rec.modality_mask() == {m: 1.0 for m in ("vis", "nir", "sk", "cp", "text")}
+
+    def test_get_sample_shapes_and_masks(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        s = ds.get_sample(0, np.random.default_rng(0), modality_dropout=0.0)
+        assert s["images"].shape == (4, 32, 32, 3)
+        assert s["image_mask"].tolist() == [1.0, 1.0, 1.0, 1.0]
+        assert s["text_mask"] == 1.0
+        assert s["label"] >= 0
+
+    def test_modality_dropout_zeroes_mask_and_image(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        dropped_any = False
+        for seed in range(20):
+            s = ds.get_sample(0, np.random.default_rng(seed), modality_dropout=0.5)
+            for m in range(4):
+                if s["image_mask"][m] == 0.0:
+                    dropped_any = True
+                    assert np.abs(s["images"][m]).sum() == 0.0
+        assert dropped_any
+
+    def test_eval_split_is_deterministic(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "val")
+        a = ds.get_sample(0, np.random.default_rng(0))
+        b = ds.get_sample(0, np.random.default_rng(99))
+        np.testing.assert_array_equal(a["images"], b["images"])
+
+    def test_analyze_sampling_capability(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        report = analyze_sampling_capability(ds)
+        assert report["pairable"]
+        assert report["strong_ids"] == 6
+
+
+class TestSampler:
+    def test_batch_structure(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        sampler = PKBatchSampler(ds, 3, 2, seed=0)
+        for batch in sampler:
+            assert len(batch) == 6
+            # each chosen id-slot contributes K=2 records; under id-reuse the
+            # same pid may fill several slots, so counts are multiples of K
+            pids = [ds.records[i].pid for i in batch]
+            vals, counts = np.unique(pids, return_counts=True)
+            assert (counts % 2 == 0).all()
+            assert counts.sum() == 6
+            break
+
+    def test_strong_ids_and_length(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        sampler = PKBatchSampler(ds, 3, 2, seed=0)
+        assert len(sampler.strong_ids) == 6
+        assert len(sampler) == sampler.nominal_steps == max(1, 12 // 6)
+
+    def test_rng_state_roundtrip(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        s1 = PKBatchSampler(ds, 3, 2, seed=7)
+        state = s1.state_dict()
+        a = s1.sample_batch()
+        s2 = PKBatchSampler(ds, 3, 2, seed=99)
+        s2.load_state_dict(state)
+        b = s2.sample_batch()
+        assert a == b
+
+    def test_odd_k_gives_extra_nonvis(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        sampler = PKBatchSampler(ds, 2, 3, seed=0)
+        batch = sampler.sample_batch()
+        assert len(batch) == 6
+
+
+class TestCollate:
+    def test_real_mask_recomputation(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        tok = HashTokenizer(100, 16)
+        s0 = ds.get_sample(0, np.random.default_rng(0), modality_dropout=0.0)
+        s1 = ds.get_sample(1, np.random.default_rng(1), modality_dropout=0.0)
+        # corrupt: declared valid but actually zero -> collate must unmask
+        s1["images"][2] = 0.0
+        batch = collate([s0, s1], tok)
+        assert batch["image_mask"][1, 2] == 0.0
+        assert batch["image_mask"][0, 2] == 1.0
+        assert batch["images"].shape == (2, 4, 32, 32, 3)
+        assert batch["text_tokens"].shape == (2, 16)
+        assert batch["text_tokens"].dtype == np.int32
+
+    def test_empty_caption_gets_zero_text_mask(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        tok = HashTokenizer(100, 16)
+        s = ds.get_sample(0, np.random.default_rng(0))
+        s["caption"] = ""
+        s["text_mask"] = 0.0
+        batch = collate([s], tok)
+        assert batch["text_mask"][0] == 0.0
+
+
+class TestPipeline:
+    def test_threaded_matches_serial(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        tok = HashTokenizer(100, 16)
+        sampler = PKBatchSampler(ds, 3, 2, seed=3, steps_per_epoch=4)
+        serial = HostPipeline(ds, sampler, tok, num_workers=0, seed=5)
+        sampler2 = PKBatchSampler(ds, 3, 2, seed=3, steps_per_epoch=4)
+        threaded = HostPipeline(ds, sampler2, tok, num_workers=3, seed=5)
+        for a, b in zip(serial, threaded):
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            np.testing.assert_array_equal(a["images"], b["images"])
+
+    def test_epoch_changes_batches(self, tiny_data_config):
+        ds = MultiModalDataset(tiny_data_config, "train")
+        tok = HashTokenizer(100, 16)
+        sampler = PKBatchSampler(ds, 3, 2, seed=3, steps_per_epoch=2)
+        pipe = HostPipeline(ds, sampler, tok, num_workers=0, seed=5)
+        first = [b["images"].copy() for b in pipe]
+        pipe.set_epoch(1)
+        second = [b["images"] for b in pipe]
+        assert any(np.abs(a - b).sum() > 0 for a, b in zip(first, second))
+
+
+class TestSplit:
+    def test_split_ids_disjoint_complete(self):
+        train, val = split_ids(list(range(100)), 0.2, seed=42)
+        assert len(val) == 20 and len(train) == 80
+        assert not (set(train) & set(val))
+
+    def test_create_split_shares_label_space(self, tiny_data_config):
+        train_ds, val_ds, pid2label = create_split_datasets(tiny_data_config)
+        verify_split_integrity(train_ds, val_ds)
+        assert len(pid2label) == 6
+        labels = sorted(pid2label.values())
+        assert labels == list(range(6))
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_layout(self):
+        tok = HashTokenizer(100, 16)
+        out = tok(["hello world", ""])
+        assert out.shape == (2, 16)
+        assert out[0, 0] == 98  # BOS
+        assert out[0].max() == 99  # EOT is the max id (argmax pooling)
+        assert out[1, 1] == 99  # empty caption = BOS EOT
+        np.testing.assert_array_equal(out[1, 2:], 0)
+
+    def test_deterministic(self):
+        tok = HashTokenizer(100, 16)
+        np.testing.assert_array_equal(tok(["abc def"]), tok(["abc def"]))
+
+    def test_build_tokenizer_fallback(self):
+        tok = build_tokenizer(None, 100, 16)
+        assert isinstance(tok, HashTokenizer)
+
+    def test_clip_bpe_matches_hf_on_ascii(self, tmp_path):
+        """When vocab files exist, our BPE must agree with HF CLIPTokenizer."""
+        pytest.importorskip("transformers")
+        # build a miniature vocab from HF's tokenizer machinery: write a tiny
+        # vocab/merges pair and compare both implementations on it.
+        import json
+
+        from transformers import CLIPTokenizer
+
+        from prcv2025reid_tpu.data.tokenizer import ClipBPETokenizer, _bytes_to_unicode
+
+        base = list(_bytes_to_unicode().values())
+        vocab = {tok: i for i, tok in enumerate(base + [t + "</w>" for t in base])}
+        merges = ["h e", "he l", "hel l", "hell o</w>", "w o", "wo r", "wor l", "worl d</w>"]
+        for m in merges:
+            vocab["".join(m.split())] = len(vocab)
+        vocab["<|startoftext|>"] = len(vocab)
+        vocab["<|endoftext|>"] = len(vocab)
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        (tmp_path / "merges.txt").write_text("#version\n" + "\n".join(merges) + "\n")
+
+        ours = ClipBPETokenizer(str(tmp_path), context_length=12)
+        theirs = CLIPTokenizer(
+            str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+        )
+        for text in ["hello world", "hello", "a b c", "Hello   WORLD"]:
+            want = theirs(text, padding="max_length", max_length=12, truncation=True)[
+                "input_ids"
+            ]
+            got = ours([text])[0]
+            # HF pads with eot; ours pads with 0 — compare the content region
+            n = want.index(theirs.eos_token_id) + 1
+            assert got[:n].tolist() == want[:n]
