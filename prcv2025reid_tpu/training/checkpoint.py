@@ -1,0 +1,73 @@
+"""Checkpoint / TRUE resume.
+
+The reference saves model/optimizer/scheduler state but never restores it —
+training resume is unimplemented (train.py:1785-1796; SURVEY.md §5.4).  This
+module closes that gap: orbax checkpoints of the full jitted TrainState
+(params, batch_stats, optimizer state, step, RNG, clip history) plus a JSON
+sidecar with the host-side state (epoch, best mAP, SDM scheduler, sampler RNG
+stream, monitor state, config snapshot) so a resumed run continues the exact
+data + schedule stream.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from prcv2025reid_tpu.training.train_step import TrainState
+
+HOST_STATE_FILE = "host_state.json"
+
+
+def _default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def save_checkpoint(
+    directory: str,
+    state: TrainState,
+    host_state: Dict[str, Any],
+    *,
+    name: str = "latest",
+):
+    """Write <directory>/<name>/ with the device state + host sidecar."""
+    path = os.path.abspath(os.path.join(directory, name))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "state"), state, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, HOST_STATE_FILE), "w") as f:
+        json.dump(host_state, f, default=_default)
+
+
+def restore_checkpoint(
+    directory: str,
+    abstract_state: TrainState,
+    *,
+    name: str = "latest",
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore a checkpoint written by save_checkpoint.
+
+    ``abstract_state`` is a template TrainState (e.g. a freshly created one)
+    providing the tree structure/shapes/dtypes.
+    """
+    path = os.path.abspath(os.path.join(directory, name))
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+    state = ckptr.restore(os.path.join(path, "state"), target)
+    with open(os.path.join(path, HOST_STATE_FILE)) as f:
+        host_state = json.load(f)
+    return state, host_state
+
+
+def latest_checkpoint_exists(directory: str, name: str = "latest") -> bool:
+    return os.path.exists(os.path.join(directory, name, HOST_STATE_FILE))

@@ -1,0 +1,129 @@
+"""Host-side training health monitors.
+
+Reference: train.py:684-1245 — the per-batch monitoring machinery re-expressed
+as small stateful objects fed with already-fetched scalars (the "monitor at
+reduced frequency, never sync the device in the hot loop" rule, SURVEY.md
+§5.1).
+
+- ``SpikeDetector``: sliding median + MAD loss-spike detection with the exact
+  thresholds of train.py:933-956 (median + 6*1.4826*MAD, 15% relative margin,
+  armed after 20 samples), producing the epoch ``stability_score``
+  (train.py:1241).
+- ``PairCoverageMonitor``: the vis <-> non-vis pair-coverage moving average
+  (window 100, target >= 0.85) — reproducing the *intent* of
+  train.py:901-931 (whose 'rgb' string comparison never matches and always
+  reports 0 — SURVEY.md §2.7).
+- ``CEDiagnostics``: CE-vs-ln(C) random-baseline check (train.py:792-805).
+"""
+from __future__ import annotations
+
+import math
+from collections import deque
+from typing import Deque, Dict, List
+
+import numpy as np
+
+
+class SpikeDetector:
+    def __init__(self, history: int = 200, window: int = 100, min_samples: int = 20):
+        self.history: Deque[float] = deque(maxlen=history)
+        self.window = window
+        self.min_samples = min_samples
+        self.spikes = 0
+        self.batches = 0
+
+    def update(self, loss: float) -> bool:
+        """Returns True when this loss is a spike."""
+        is_spike = False
+        if not math.isfinite(loss):
+            self.spikes += 1
+            self.batches += 1
+            return True
+        self.history.append(loss)
+        if len(self.history) >= self.min_samples:
+            hist = np.asarray(list(self.history)[-self.window :])
+            median = float(np.median(hist))
+            mad = max(float(np.median(np.abs(hist - median))), 0.05)
+            threshold = max(median + 6.0 * 1.4826 * mad, median * 1.15)
+            if loss > threshold:
+                self.spikes += 1
+                is_spike = True
+        self.batches += 1
+        return is_spike
+
+    @property
+    def stability_score(self) -> float:
+        return max(0.0, 1.0 - self.spikes / max(1, self.batches))
+
+    def state_dict(self) -> Dict:
+        return {
+            "history": list(self.history),
+            "spikes": self.spikes,
+            "batches": self.batches,
+        }
+
+    def load_state_dict(self, s: Dict):
+        self.history = deque(s["history"], maxlen=self.history.maxlen)
+        self.spikes = s["spikes"]
+        self.batches = s["batches"]
+
+
+class PairCoverageMonitor:
+    """Fraction of batch identities with both a valid vis and a valid
+    non-vis instance, smoothed over a step window."""
+
+    def __init__(self, window: int = 100, target: float = 0.85):
+        self.values: Deque[float] = deque(maxlen=window)
+        self.target = target
+
+    def update(self, pids: np.ndarray, image_mask: np.ndarray, text_mask: np.ndarray) -> float:
+        """pids [B]; image_mask [B, Mv] (slot 0 = vis); text_mask [B]."""
+        has_vis = image_mask[:, 0] > 0
+        has_nonvis = (image_mask[:, 1:].sum(axis=1) > 0) | (text_mask > 0)
+        cov_ids = 0
+        ids = np.unique(pids)
+        for pid in ids:
+            sel = pids == pid
+            if has_vis[sel].any() and has_nonvis[sel].any():
+                cov_ids += 1
+        cov = cov_ids / max(1, len(ids))
+        self.values.append(cov)
+        return cov
+
+    @property
+    def moving_average(self) -> float:
+        return float(np.mean(self.values)) if self.values else 0.0
+
+    @property
+    def healthy(self) -> bool:
+        return self.moving_average >= self.target
+
+
+class CEDiagnostics:
+    """Flags CE stuck at the ln(num_classes) random baseline."""
+
+    def __init__(self, num_classes: int, tolerance: float = 0.05):
+        self.random_baseline = math.log(max(2, num_classes))
+        self.tolerance = tolerance
+
+    def is_random(self, ce_loss: float) -> bool:
+        return abs(ce_loss - self.random_baseline) / self.random_baseline < self.tolerance
+
+
+class MetricsHistory:
+    """Per-epoch metric accumulation -> CSV (reference: train.py:1751-1756)."""
+
+    def __init__(self):
+        self.rows: List[Dict] = []
+
+    def append(self, row: Dict):
+        self.rows.append(dict(row))
+
+    def to_csv(self, path: str):
+        if not self.rows:
+            return
+        keys = sorted({k for r in self.rows for k in r})
+        with open(path, "w") as f:
+            f.write(",".join(keys) + "\n")
+            for r in self.rows:
+                f.write(",".join(str(r.get(k, "")) for k in keys) + "\n")

@@ -1,0 +1,245 @@
+"""Training subsystem tests: schedulers, param groups/freezing, train step,
+monitors, checkpoint/resume."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prcv2025reid_tpu.configs import TrainingConfig
+from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+from prcv2025reid_tpu.training.checkpoint import (
+    latest_checkpoint_exists,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from prcv2025reid_tpu.training.monitors import (
+    CEDiagnostics,
+    PairCoverageMonitor,
+    SpikeDetector,
+)
+from prcv2025reid_tpu.training.param_groups import (
+    build_label_tree,
+    build_optimizer,
+    count_trainable,
+)
+from prcv2025reid_tpu.training.schedulers import (
+    SDMScheduler,
+    SDMTemperatureScheduler,
+    SDMWeightScheduler,
+    warmup_cosine_multiplier,
+)
+from prcv2025reid_tpu.training.train_step import TrainState, make_embed_step, make_train_step
+
+TINY = dict(
+    vision_hidden_dim=64,
+    vision_layers=2,
+    vision_heads=4,
+    vision_mlp_dim=128,
+    text_hidden_dim=32,
+    text_layers=2,
+    text_heads=4,
+    text_mlp_dim=64,
+    text_vocab_size=100,
+    text_context_length=16,
+    image_size=32,
+    fusion_dim=32,
+    sdm_semantic_dim=32,
+    sdm_num_heads=4,
+    fusion_num_heads=4,
+    compute_dtype="float32",
+    use_pallas_attention=False,
+    drop_path=0.0,
+    num_epochs=4,
+    warmup_epochs=1,
+)
+
+
+def _batch(B=6, rng=None):
+    rng = rng or np.random.default_rng(0)
+    return {
+        "images": jnp.asarray(rng.normal(size=(B, 4, 32, 32, 3)), jnp.float32),
+        "image_mask": jnp.ones((B, 4), jnp.float32),
+        "text_tokens": jnp.ones((B, 16), jnp.int32).at[:, 3].set(99),
+        "text_mask": jnp.ones(B, jnp.float32),
+        "labels": jnp.asarray([0, 0, 1, 1, 2, 2][:B], jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = TrainingConfig(**TINY)
+    model = MultiModalReIDModel(config=config, num_classes=3, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    b = _batch()
+    variables = model.init(
+        {"params": rng},
+        b["images"],
+        b["image_mask"],
+        b["text_tokens"],
+        b["text_mask"],
+        train=False,
+    )
+    tx = build_optimizer(config, variables["params"], steps_per_epoch=10)
+    state = TrainState.create(
+        variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(1)
+    )
+    step_fn = make_train_step(model, tx, config)
+    return config, model, tx, state, step_fn
+
+
+class TestSchedulers:
+    def test_sdm_weight_schedule(self):
+        s = SDMWeightScheduler(warmup_epochs=1, schedule=(0.1, 0.3, 0.5))
+        assert s.get_weight(1) == 0.0
+        assert s.get_weight(2) == 0.1
+        assert s.get_weight(3) == 0.3
+        assert s.get_weight(4) == 0.5
+        assert s.get_weight(9) == 0.5
+
+    def test_sdm_weight_gates(self):
+        s = SDMWeightScheduler()
+        assert not s.can_increase_weight(5, {"stability_score": 0.9})
+        assert not s.can_increase_weight(11, {"stability_score": 0.5})
+        assert s.can_increase_weight(11, {"stability_score": 0.9})
+        assert not s.can_increase_weight(
+            11, {"stability_score": 0.9}, {"map_avg2": 0.05}
+        )
+
+    def test_temperature_fallback(self):
+        t = SDMTemperatureScheduler(init_temp=0.18, final_temp=0.16, warmup_epochs=3)
+        assert t.get_temperature(1) == 0.18
+        assert t.get_temperature(5) == 0.16
+        t.check_stability({"sdm_loss": 9.0, "stability_score": 1.0})
+        assert t.get_temperature(5) == 0.20
+        t.reset_to_normal()
+        assert t.get_temperature(5) == 0.16
+
+    def test_combined_tolerates_missing_metrics(self):
+        s = SDMScheduler()
+        w, t = s.get_parameters(3, {})
+        assert w == s.weight_scheduler.current_weight
+        assert t == s.temp_scheduler.current_temp
+
+    def test_warmup_cosine_shape(self):
+        mult = [warmup_cosine_multiplier(e, 10, 2, 0.01) for e in range(10)]
+        assert mult[0] < mult[1] <= 1.0  # warmup rises
+        assert abs(mult[2] - 1.0) < 1e-6  # peak after warmup
+        assert mult[-1] < 0.1  # decays toward floor
+        assert min(mult) >= 0.01
+
+
+class TestParamGroups:
+    def test_label_assignment(self, setup):
+        config, model, tx, state, _ = setup
+        labels = build_label_tree(state.params, freeze_backbone=True)
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        by_path = {
+            "/".join(k.key for k in path if hasattr(k, "key")): lbl
+            for path, lbl in flat
+        }
+        assert by_path["null_tokens"] == "other_modules"
+        lora_labels = {v for k, v in by_path.items() if "lora_" in k}
+        assert lora_labels == {"mer_loras"}
+        shared = {v for k, v in by_path.items() if "shared/kernel" in k}
+        assert shared == {"frozen"}
+        cls = {v for k, v in by_path.items() if "classifier" in k}
+        assert cls == {"classification_head"}
+
+    def test_frozen_params_do_not_move(self, setup):
+        config, model, tx, state, step_fn = setup
+        b = _batch()
+        new_state, metrics = step_fn(state, b, jnp.float32(0.1), jnp.float32(0.2))
+        before = state.params["encoder"]["vision"]["block_0"]["attn"]["q_proj"]["shared"]["kernel"]
+        after = new_state.params["encoder"]["vision"]["block_0"]["attn"]["q_proj"]["shared"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+        # trainable groups DO move
+        lb = state.params["encoder"]["vision"]["block_0"]["attn"]["q_proj"]["lora_B"]
+        la = new_state.params["encoder"]["vision"]["block_0"]["attn"]["q_proj"]["lora_B"]
+        assert np.abs(np.asarray(lb) - np.asarray(la)).max() > 0
+
+    def test_count_trainable(self, setup):
+        config, model, tx, state, _ = setup
+        counts = count_trainable(state.params, freeze_backbone=True)
+        assert counts["frozen"] > counts["mer_loras"] > 0
+        assert counts["classification_head"] > 0
+
+
+class TestTrainStep:
+    def test_metrics_finite_and_params_update(self, setup):
+        config, model, tx, state, step_fn = setup
+        b = _batch()
+        new_state, m = step_fn(state, b, jnp.float32(0.3), jnp.float32(0.2))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        assert float(m["skipped"]) == 0.0
+        assert float(m["sdm_loss"]) > 0
+        assert int(new_state.step) == 1
+
+    def test_loss_decreases_over_steps(self, setup):
+        config, model, tx, state, step_fn = setup
+        b = _batch()
+        first = None
+        s = state
+        for i in range(8):
+            s, m = step_fn(s, b, jnp.float32(0.0), jnp.float32(0.2))
+            if first is None:
+                first = float(m["ce_loss"])
+        assert float(m["ce_loss"]) < first
+
+    def test_grad_norm_history_advances(self, setup):
+        config, model, tx, state, step_fn = setup
+        b = _batch()
+        s, _ = step_fn(state, b, jnp.float32(0.0), jnp.float32(0.2))
+        assert int(s.grad_norm_count) == 1
+        assert float(s.grad_norm_hist[0]) > 0
+
+    def test_embed_step(self, setup):
+        config, model, tx, state, step_fn = setup
+        embed = make_embed_step(model)
+        b = _batch()
+        feats = embed({"params": state.params, "batch_stats": state.batch_stats}, b)
+        norms = np.linalg.norm(np.asarray(feats), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+class TestMonitors:
+    def test_spike_detector(self):
+        det = SpikeDetector()
+        for _ in range(30):
+            det.update(1.0)
+        assert not det.update(1.05)
+        assert det.update(10.0)
+        assert det.stability_score < 1.0
+
+    def test_pair_coverage(self):
+        mon = PairCoverageMonitor(window=10)
+        pids = np.asarray([1, 1, 2, 2])
+        img = np.asarray([[1, 0, 0, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 0, 0]], np.float32)
+        txt = np.asarray([0, 0, 0, 0], np.float32)
+        cov = mon.update(pids, img, txt)
+        assert cov == 0.5  # id1 has vis+nonvis, id2 has only vis
+        txt2 = np.asarray([0, 0, 0, 1], np.float32)
+        assert mon.update(pids, img, txt2) == 1.0
+
+    def test_ce_diagnostics(self):
+        d = CEDiagnostics(num_classes=100)
+        assert d.is_random(np.log(100))
+        assert not d.is_random(1.0)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, setup, tmp_path):
+        config, model, tx, state, step_fn = setup
+        b = _batch()
+        s1, _ = step_fn(state, b, jnp.float32(0.1), jnp.float32(0.2))
+        host = {"epoch": 3, "best_map": 0.42, "sampler_rng": {"a": 1}}
+        save_checkpoint(str(tmp_path), s1, host)
+        assert latest_checkpoint_exists(str(tmp_path))
+        restored, host2 = restore_checkpoint(str(tmp_path), state)
+        assert host2["epoch"] == 3
+        assert int(restored.step) == int(s1.step)
+        jax.tree.map(
+            lambda a, b2: np.testing.assert_array_equal(np.asarray(a), np.asarray(b2)),
+            restored.params,
+            s1.params,
+        )
