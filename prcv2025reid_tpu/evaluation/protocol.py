@@ -1,0 +1,326 @@
+"""The unified MM-1..4 retrieval evaluation engine.
+
+The reference ships TWO parallel eval implementations — the in-training one
+(train.py:237-639) and a partially bitrotted standalone tool
+(tools/eval_mm_protocol.py) — SURVEY.md §2.6 prescribes ONE engine serving
+both.  This is it:
+
+- gallery = all vis anchors of the split (train.py:252-275 GalleryOnlyVIS);
+- queries = every k-combination of {nir, sk, cp, text} per record
+  (train.py:342-391 / tools/eval_mm_protocol.py:223-287), named
+  single/double/triple/quad with '+'-joined modalities;
+- whitelist filtering by fnmatch patterns (train.py:504-514);
+- gallery feature caching keyed by (tag, size, content-hash)
+  (train.py:516-534, tools/eval_mm_protocol.py:291-325);
+- optional same-image exclusion for the standalone protocol
+  (tools/eval_mm_protocol.py:429-438);
+- submission CSV (query_key, top-100 ranked gallery ids,
+  tools/eval_mm_protocol.py:595-649).
+
+TPU-native: embedding is batched + padded to static shapes; ranking is ONE
+matmul + vectorized AP/CMC (the reference's per-query Python loop at
+train.py:450-479 becomes argsort/cumsum on device).  mAP counts only queries
+with at least one relevant gallery item (the ``valid`` denominator of
+train.py:477); top-1 divides by all queries — both reproduced exactly.  The
+reference's "simplified CMC" (first query only, train.py:620-621) is replaced
+by a real CMC@1/5/10 (SURVEY.md §2.7: reproduce intent, not bugs).
+"""
+from __future__ import annotations
+
+import fnmatch
+import hashlib
+import itertools
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prcv2025reid_tpu.data.dataset import MultiModalDataset
+
+NONVIS = ("nir", "sk", "cp", "text")
+KIND_NAME = {1: "single", 2: "double", 3: "triple", 4: "quad"}
+
+
+def build_query_plans(k_values: Sequence[int] = (1, 2, 3, 4)) -> List[Tuple[str, Tuple[str, ...]]]:
+    plans = []
+    for k in k_values:
+        for combo in itertools.combinations(NONVIS, k):
+            plans.append((f"{KIND_NAME[k]}/{'+'.join(combo)}", combo))
+    return plans
+
+
+def filter_plans(
+    plans: List[Tuple[str, Tuple[str, ...]]], include_patterns: Optional[Sequence[str]]
+) -> List[Tuple[str, Tuple[str, ...]]]:
+    if not include_patterns:
+        return plans
+    return [
+        (name, mods)
+        for name, mods in plans
+        if any(fnmatch.fnmatch(name, pat) for pat in include_patterns)
+    ]
+
+
+# ----- batched embedding with static shapes -----
+
+
+def embed_samples(
+    embed_fn: Callable,
+    variables,
+    dataset: MultiModalDataset,
+    indices: Sequence[int],
+    tokenizer,
+    batch_size: int,
+    modalities: Optional[Tuple[str, ...]] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Embed records -> (features [N, D], pids [N]).
+
+    ``modalities=None`` -> gallery mode (vis only).  The last batch is padded
+    to ``batch_size`` so every shape hits the same jit executable.
+    """
+    from prcv2025reid_tpu.data.pipeline import collate
+
+    rng = np.random.default_rng(seed)
+    feats_out: List[np.ndarray] = []
+    pids_out: List[np.ndarray] = []
+    mods = modalities if modalities is not None else ("vis",)
+    for start in range(0, len(indices), batch_size):
+        chunk = list(indices[start : start + batch_size])
+        n_real = len(chunk)
+        while len(chunk) < batch_size:
+            chunk.append(chunk[-1])
+        samples = [dataset.get_query_sample(i, mods, rng) for i in chunk]
+        batch = collate(samples, tokenizer)
+        feats = np.asarray(embed_fn(variables, batch))
+        feats_out.append(feats[:n_real])
+        pids_out.append(batch["pids"][:n_real])
+    if not feats_out:
+        return np.zeros((0, 1), np.float32), np.zeros((0,), np.int64)
+    return np.concatenate(feats_out), np.concatenate(pids_out)
+
+
+# ----- vectorized ranking metrics -----
+
+
+def compute_retrieval_metrics(
+    q_feats: np.ndarray,
+    q_pids: np.ndarray,
+    g_feats: np.ndarray,
+    g_pids: np.ndarray,
+    exclude: Optional[np.ndarray] = None,  # [Nq, Ng] bool, True = drop pair
+    topk_cmc: Sequence[int] = (1, 5, 10),
+) -> Dict[str, float]:
+    """mAP / top-1 / CMC over a full similarity matrix, all on device."""
+    q = jnp.asarray(q_feats, jnp.float32)
+    g = jnp.asarray(g_feats, jnp.float32)
+    sim = jnp.dot(q, g.T, precision=jax.lax.Precision.HIGHEST)
+    if exclude is not None:
+        sim = jnp.where(jnp.asarray(exclude), -jnp.inf, sim)
+
+    order = jnp.argsort(-sim, axis=1)  # [Nq, Ng]
+    g_sorted = jnp.asarray(g_pids)[order]
+    matches = (g_sorted == jnp.asarray(q_pids)[:, None]).astype(jnp.float32)
+    if exclude is not None:
+        # excluded pairs land at the tail with -inf; drop them from matches
+        excl_sorted = jnp.take_along_axis(jnp.asarray(exclude), order, axis=1)
+        matches = matches * (1.0 - excl_sorted.astype(jnp.float32))
+
+    rel = matches.sum(axis=1)  # [Nq]
+    ranks = jnp.arange(1, matches.shape[1] + 1, dtype=jnp.float32)[None, :]
+    precision = jnp.cumsum(matches, axis=1) / ranks
+    ap = (precision * matches).sum(axis=1) / jnp.maximum(rel, 1.0)
+
+    has_rel = (rel > 0).astype(jnp.float32)
+    n_valid = jnp.maximum(has_rel.sum(), 1.0)
+    mean_ap = (ap * has_rel).sum() / n_valid
+    top1 = matches[:, 0].mean()
+
+    out = {"mAP": float(mean_ap), "top1": float(top1), "num_queries": int(q.shape[0])}
+    hits = jnp.cumsum(matches, axis=1) > 0
+    for k in topk_cmc:
+        k_eff = min(k, matches.shape[1])
+        cmc_k = (hits[:, k_eff - 1].astype(jnp.float32) * has_rel).sum() / n_valid
+        out[f"cmc{k}"] = float(cmc_k)
+    return out
+
+
+# ----- gallery cache -----
+
+
+class GalleryCache:
+    """On-disk gallery feature cache (train.py:516-534 semantics, npz form)."""
+
+    def __init__(self, cache_dir: str, tag: str):
+        self.cache_dir = cache_dir
+        self.tag = tag
+
+    def _path(self, indices: Sequence[int]) -> str:
+        h = hashlib.md5(np.asarray(indices, np.int64).tobytes()).hexdigest()[:12]
+        return os.path.join(self.cache_dir, f"gallery_{self.tag}_{len(indices)}_{h}.npz")
+
+    def load(self, indices) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        p = self._path(indices)
+        if os.path.exists(p):
+            z = np.load(p)
+            return z["feats"], z["pids"]
+        return None
+
+    def save(self, indices, feats: np.ndarray, pids: np.ndarray):
+        os.makedirs(self.cache_dir, exist_ok=True)
+        np.savez(self._path(indices), feats=feats, pids=pids)
+
+
+# ----- the protocol driver -----
+
+
+def evaluate_protocol(
+    embed_fn: Callable,
+    variables,
+    dataset: MultiModalDataset,
+    tokenizer,
+    *,
+    batch_size: int = 64,
+    include_patterns: Optional[Sequence[str]] = None,
+    k_values: Sequence[int] = (1, 2, 3, 4),
+    exclude_same_image: bool = False,
+    cache: Optional[GalleryCache] = None,
+    sample_ratio: float = 1.0,
+    seed: int = 0,
+) -> Dict:
+    """Run the MM protocol; returns {map_single, map_quad, map_avg2, detail,
+    cmc1/5/10} like validate_competition_style (train.py:503-639)."""
+    rng = np.random.default_rng(seed)
+    gallery_indices = [i for i, r in enumerate(dataset.records) if r.vis]
+
+    g = cache.load(gallery_indices) if cache else None
+    if g is None:
+        g_feats, g_pids = embed_samples(
+            embed_fn, variables, dataset, gallery_indices, tokenizer, batch_size
+        )
+        if cache:
+            cache.save(gallery_indices, g_feats, g_pids)
+    else:
+        g_feats, g_pids = g
+
+    plans = filter_plans(build_query_plans(k_values), include_patterns)
+    detail: Dict[str, Dict] = {}
+    for name, mods in plans:
+        q_indices = [
+            i
+            for i, r in enumerate(dataset.records)
+            if all(m in r.modalities() for m in mods)
+        ]
+        if sample_ratio < 1.0 and len(q_indices) > 4:
+            n_keep = max(1, int(len(q_indices) * sample_ratio))
+            q_indices = sorted(
+                rng.choice(q_indices, n_keep, replace=False).tolist()
+            )
+        if not q_indices:
+            continue
+        q_feats, q_pids = embed_samples(
+            embed_fn,
+            variables,
+            dataset,
+            q_indices,
+            tokenizer,
+            batch_size,
+            modalities=mods,
+            seed=seed,
+        )
+        exclude = None
+        if exclude_same_image:
+            # a query must not retrieve the gallery entry built from the very
+            # same record/anchor image (tools/eval_mm_protocol.py:429-438)
+            q_idx = np.asarray(q_indices)[:, None]
+            g_idx = np.asarray(gallery_indices)[None, :]
+            exclude = q_idx == g_idx
+        detail[name] = compute_retrieval_metrics(q_feats, q_pids, g_feats, g_pids, exclude)
+
+    singles = [detail[f"single/{m}"]["mAP"] for m in NONVIS if f"single/{m}" in detail]
+    map_single = float(np.mean(singles)) if singles else 0.0
+    quad_name = "quad/nir+sk+cp+text"
+    map_quad = detail.get(quad_name, {}).get("mAP", 0.0)
+    all_cmc = {
+        f"cmc{k}": float(np.mean([d[f"cmc{k}"] for d in detail.values()]))
+        if detail
+        else 0.0
+        for k in (1, 5, 10)
+    }
+    # MM-k averages (tools/eval_mm_protocol.py:573-589): mean over combos of size k
+    mm_avgs = {}
+    for k in k_values:
+        vals = [
+            d["mAP"] for n, d in detail.items() if n.startswith(KIND_NAME[k] + "/")
+        ]
+        if vals:
+            mm_avgs[f"mm{k}_map"] = float(np.mean(vals))
+    mm_all = [v for v in mm_avgs.values()]
+    return {
+        "map_single": map_single,
+        "map_quad": map_quad,
+        "map_avg2": (map_single + map_quad) / 2.0,
+        "map_mm_avg": float(np.mean(mm_all)) if mm_all else 0.0,
+        **mm_avgs,
+        **all_cmc,
+        "detail": detail,
+    }
+
+
+def export_submission_csv(
+    embed_fn: Callable,
+    variables,
+    dataset: MultiModalDataset,
+    tokenizer,
+    output_path: str,
+    *,
+    batch_size: int = 64,
+    k_values: Sequence[int] = (1, 2, 3, 4),
+    top_k: int = 100,
+    seed: int = 0,
+):
+    """Write the competition CSV: query_key,ranked_gallery_ids
+    (tools/eval_mm_protocol.py:595-649).  query_key = pid|mods|anchor-stem;
+    gallery ids are anchor-image stems ranked by similarity, top-100,
+    space-joined.  Ties break deterministically by gallery order (SURVEY.md §7
+    hard part 6)."""
+    gallery_indices = [i for i, r in enumerate(dataset.records) if r.vis]
+    g_feats, g_pids = embed_samples(
+        embed_fn, variables, dataset, gallery_indices, tokenizer, batch_size
+    )
+    g_ids = [
+        os.path.splitext(os.path.basename(dataset.records[i].anchor_vis))[0]
+        for i in gallery_indices
+    ]
+
+    rows: List[Tuple[str, str]] = []
+    for name, mods in build_query_plans(k_values):
+        q_indices = [
+            i
+            for i, r in enumerate(dataset.records)
+            if all(m in r.modalities() for m in mods)
+        ]
+        if not q_indices:
+            continue
+        q_feats, _ = embed_samples(
+            embed_fn, variables, dataset, q_indices, tokenizer, batch_size,
+            modalities=mods, seed=seed,
+        )
+        sims = q_feats @ g_feats.T
+        # stable tie-break: argsort on (-sim, index) via kind='stable'
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :top_k]
+        for qi, record_idx in enumerate(q_indices):
+            rec = dataset.records[record_idx]
+            stem = os.path.splitext(os.path.basename(rec.anchor_vis))[0]
+            query_key = f"{rec.pid}|{'+'.join(mods)}|{stem}"
+            ranked = " ".join(g_ids[j] for j in order[qi])
+            rows.append((query_key, ranked))
+
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with open(output_path, "w") as f:
+        f.write("query_key,ranked_gallery_ids\n")
+        for key, ranked in rows:
+            f.write(f"{key},{ranked}\n")
+    return len(rows)
