@@ -189,16 +189,24 @@ def evaluate_protocol(
     cache: Optional[GalleryCache] = None,
     sample_ratio: float = 1.0,
     seed: int = 0,
+    embed_factory: Optional[Callable[[Tuple[str, ...]], Callable]] = None,
 ) -> Dict:
     """Run the MM protocol; returns {map_single, map_quad, map_avg2, detail,
-    cmc1/5/10} like validate_competition_style (train.py:503-639)."""
+    cmc1/5/10} like validate_competition_style (train.py:503-639).
+
+    ``embed_factory(modalities) -> embed_fn`` enables combo-specialized
+    embedding graphs (only the needed towers compile/run); falls back to the
+    generic ``embed_fn`` when absent."""
     rng = np.random.default_rng(seed)
     gallery_indices = [i for i, r in enumerate(dataset.records) if r.vis]
+
+    def _fn(mods: Tuple[str, ...]) -> Callable:
+        return embed_factory(mods) if embed_factory is not None else embed_fn
 
     g = cache.load(gallery_indices) if cache else None
     if g is None:
         g_feats, g_pids = embed_samples(
-            embed_fn, variables, dataset, gallery_indices, tokenizer, batch_size
+            _fn(("vis",)), variables, dataset, gallery_indices, tokenizer, batch_size
         )
         if cache:
             cache.save(gallery_indices, g_feats, g_pids)
@@ -221,7 +229,7 @@ def evaluate_protocol(
         if not q_indices:
             continue
         q_feats, q_pids = embed_samples(
-            embed_fn,
+            _fn(mods),
             variables,
             dataset,
             q_indices,

@@ -295,6 +295,51 @@ class MultiModalReIDModel(nn.Module):
             "logits": logits,
         }
 
+    def encode_subset(
+        self,
+        images: jnp.ndarray,  # [B, Mv, H, W, 3]
+        image_mask: jnp.ndarray,  # [B, Mv]
+        text_tokens: jnp.ndarray,  # [B, S]
+        text_mask: jnp.ndarray,  # [B]
+        active: Tuple[str, ...],  # static modality names, e.g. ("nir", "text")
+    ) -> jnp.ndarray:
+        """Eval-time embedding computing ONLY the active modality towers.
+
+        The reference encodes whatever modalities appear in the batch dict one
+        by one (models/model.py:355-399); here the active set is static per
+        query combo, so each MM combo compiles to a graph with exactly the
+        towers it needs (gallery = 1 ViT pass, not 4).  Inactive slots carry
+        null tokens with zero masks — identical math to the full forward for
+        masked inputs.  Returns L2-ready bn_features.
+        """
+        cfg = self.config
+        B, Mv = images.shape[:2]
+        M = Mv + 1
+        dt = jnp.dtype(self.dtype) if self.dtype is not None else jnp.dtype(cfg.compute_dtype)
+
+        vis_mods = cfg.vision_modalities
+        null = self.null_tokens.astype(dt)
+        feats = jnp.broadcast_to(null[None], (B, M, null.shape[-1])).astype(dt)
+        masks = jnp.zeros((B, M), jnp.float32)
+        for mi, mod in enumerate(vis_mods):
+            if mod not in active:
+                continue
+            f = self.encoder.encode_vision(images[:, mi], mi, deterministic=True)
+            m = image_mask[:, mi].astype(jnp.float32)
+            blended = m[:, None].astype(dt) * f + (1 - m[:, None]).astype(dt) * null[mi]
+            feats = feats.at[:, mi].set(blended)
+            masks = masks.at[:, mi].set(m)
+        if "text" in active:
+            f = self.encoder.encode_text(text_tokens)
+            m = text_mask.astype(jnp.float32)
+            blended = m[:, None].astype(dt) * f + (1 - m[:, None]).astype(dt) * null[M - 1]
+            feats = feats.at[:, M - 1].set(blended)
+            masks = masks.at[:, M - 1].set(m)
+
+        fused = self.fusion(feats, masks, deterministic=True)
+        bn_features, _ = self.bn_neck(fused, train=False)
+        return bn_features
+
 
 def compute_loss(
     outputs: Dict[str, jnp.ndarray],

@@ -1,0 +1,77 @@
+"""Device mesh + data-parallel sharding.
+
+The reference is single-process single-GPU (SURVEY.md §2 parallelism audit:
+no DDP/NCCL anywhere) — this module is the first-class NEW component the TPU
+rebuild owes: a ``jax.sharding.Mesh`` over the chips with
+
+- parameters/optimizer state replicated,
+- batches sharded along the batch dim over the 'data' axis,
+- gradients/batch-norm statistics reduced by GSPMD automatically (the train
+  step computes global-batch means; XLA inserts the psums over ICI).
+
+The single-device path is the degenerate 1-chip mesh — one code path.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from prcv2025reid_tpu.configs import TrainingConfig
+
+DATA_AXIS = "data"
+
+
+def create_mesh(
+    config: Optional[TrainingConfig] = None,
+    devices: Optional[Sequence] = None,
+    n_devices: Optional[int] = None,
+) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs).reshape(len(devs)), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Place a host batch onto the mesh, batch-dim sharded.
+
+    Batch sizes must divide the mesh size; the host pipeline guarantees this
+    (P*K is padded up by the trainer when needed).
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_state(state, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+
+def pad_batch_to(batch: Dict, size: int) -> Dict:
+    """Pad every array's batch dim to ``size`` with zeros; padded rows carry
+    zero masks and label -1 so every loss/metric ignores them."""
+    import numpy as onp
+
+    b = next(iter(batch.values())).shape[0]
+    if b == size:
+        return batch
+    pad = size - b
+
+    def _pad(name, x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        fill = -1 if name == "labels" else 0
+        return onp.pad(onp.asarray(x), widths, constant_values=fill)
+
+    return {k: _pad(k, v) for k, v in batch.items()}

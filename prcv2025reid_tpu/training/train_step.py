@@ -195,3 +195,24 @@ def make_embed_step(model: MultiModalReIDModel) -> Callable:
         return feats / jnp.maximum(jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
 
     return embed
+
+
+def make_combo_embed_step(model: MultiModalReIDModel, active: Tuple[str, ...]) -> Callable:
+    """Embedding specialized to a static modality combo — computes only the
+    towers the combo needs (gallery 'vis' = 1 ViT pass instead of 4)."""
+    active = tuple(active)
+
+    @jax.jit
+    def embed(params_and_stats, batch):
+        feats = model.apply(
+            params_and_stats,
+            batch["images"],
+            batch["image_mask"],
+            batch["text_tokens"],
+            batch["text_mask"],
+            active,
+            method=model.encode_subset,
+        ).astype(jnp.float32)
+        return feats / jnp.maximum(jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+
+    return embed
