@@ -288,15 +288,20 @@ def export_submission_csv(
     k_values: Sequence[int] = (1, 2, 3, 4),
     top_k: int = 100,
     seed: int = 0,
+    embed_factory: Optional[Callable[[Tuple[str, ...]], Callable]] = None,
 ):
     """Write the competition CSV: query_key,ranked_gallery_ids
     (tools/eval_mm_protocol.py:595-649).  query_key = pid|mods|anchor-stem;
     gallery ids are anchor-image stems ranked by similarity, top-100,
     space-joined.  Ties break deterministically by gallery order (SURVEY.md §7
     hard part 6)."""
+
+    def _fn(mods: Tuple[str, ...]) -> Callable:
+        return embed_factory(mods) if embed_factory is not None else embed_fn
+
     gallery_indices = [i for i, r in enumerate(dataset.records) if r.vis]
     g_feats, g_pids = embed_samples(
-        embed_fn, variables, dataset, gallery_indices, tokenizer, batch_size
+        _fn(("vis",)), variables, dataset, gallery_indices, tokenizer, batch_size
     )
     g_ids = [
         os.path.splitext(os.path.basename(dataset.records[i].anchor_vis))[0]
@@ -313,7 +318,7 @@ def export_submission_csv(
         if not q_indices:
             continue
         q_feats, _ = embed_samples(
-            embed_fn, variables, dataset, q_indices, tokenizer, batch_size,
+            _fn(mods), variables, dataset, q_indices, tokenizer, batch_size,
             modalities=mods, seed=seed,
         )
         sims = q_feats @ g_feats.T

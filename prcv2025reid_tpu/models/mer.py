@@ -30,20 +30,42 @@ from prcv2025reid_tpu.ops.attention import dot_product_attention
 Dtype = jnp.dtype
 
 
-def _route_mask(onehot: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-    """Broadcast a [B, M] expert one-hot against z [B, ..., M, r].
+class _SharedParams(nn.Module):
+    """Holds the shared trunk kernel/bias under the 'shared/{kernel,bias}'
+    tree path (converter + freeze-mask compatibility) without computing —
+    MERDense fuses the matmul itself."""
 
-    The expert axis is second-to-last in z (rank axis is last) — the reshape
-    must pin M there explicitly, never rely on right-aligned broadcasting
-    (M can equal r and silently mis-broadcast)."""
-    extra = z.ndim - onehot.ndim - 1
-    return onehot.reshape(
-        onehot.shape[:1] + (1,) * extra + (onehot.shape[1], 1)
-    )
+    features: int
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_dim, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 class MERDense(nn.Module):
-    """Shared Dense + stacked per-modality LoRA (reference: models/mer_lora.py:52-106)."""
+    """Shared Dense + stacked per-modality LoRA (reference: models/mer_lora.py:52-106).
+
+    MXU-fused layout: the stacked lora_A [M, in, r] is reshaped to [in, M*r]
+    and CONCATENATED onto the shared kernel, so trunk + all LoRA
+    down-projections ride ONE matmul [., in] @ [in, out + M*r] (out 768 ->
+    784 at M=4, r=4 — ~2% extra columns).  The expert mask then zeroes the
+    non-selected rank columns and the up-projection is one thin
+    [., M*r] @ [M*r, out] matmul.  Measured: the naive two-einsum form costs
+    ~34% of a ViT block on v5e; this form is ~2%.
+    """
 
     features: int
     num_experts: int
@@ -57,15 +79,10 @@ class MERDense(nn.Module):
     def __call__(self, x: jnp.ndarray, expert_onehot: jnp.ndarray) -> jnp.ndarray:
         """x: [B, ..., in_dim]; expert_onehot: [B, num_experts] (rows may be
         any convex weights, typically one-hot)."""
-        shared = nn.Dense(
-            self.features,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="shared",
-        )(x)
-
         in_dim = x.shape[-1]
+        kernel, bias = _SharedParams(
+            self.features, self.use_bias, self.param_dtype, name="shared"
+        )(in_dim)
         # A: kaiming-uniform like the reference (models/mer_lora.py:37);
         # B: zeros so the adapter is a no-op at init (models/mer_lora.py:38).
         lora_a = self.param(
@@ -82,10 +99,25 @@ class MERDense(nn.Module):
         )
         dt = self.dtype or x.dtype
         xa = x.astype(dt)
-        z = jnp.einsum("...i,mir->...mr", xa, lora_a.astype(dt))
-        z = z * _route_mask(expert_onehot, z).astype(dt)
-        delta = jnp.einsum("...mr,mro->...o", z, lora_b.astype(dt))
-        return shared + delta * (self.alpha / self.rank)
+        mr = self.num_experts * self.rank
+
+        a2 = lora_a.transpose(1, 0, 2).reshape(in_dim, mr)
+        w_cat = jnp.concatenate([kernel, a2], axis=1).astype(dt)
+        out = xa @ w_cat  # [..., features + M*r]
+        y = out[..., : self.features]
+        z = out[..., self.features :]  # [..., M*r]
+
+        # expert mask expanded over the rank columns, expert axis pinned
+        mask = jnp.repeat(expert_onehot, self.rank, axis=-1)  # [B, M*r]
+        mask = mask.reshape(mask.shape[:1] + (1,) * (x.ndim - 2) + (mr,))
+        z = z * mask.astype(dt)
+
+        b2 = lora_b.reshape(mr, self.features).astype(dt)
+        delta = z @ b2
+        y = y + delta * (self.alpha / self.rank)
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
 
 
 class MERAttention(nn.Module):

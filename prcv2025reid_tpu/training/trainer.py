@@ -1,0 +1,327 @@
+"""The training orchestrator — the TPU counterpart of
+train.py::train_multimodal_reid (reference: train.py:1264-1783).
+
+Wires: dataset split -> strict P x K pipeline -> model init (+ optional CLIP
+weights) -> layered-LR optimizer -> epoch loop with SDM scheduling, health
+monitors, per-epoch whitelist eval, best/periodic checkpointing, TRUE resume,
+and CSV histories.  All heavy compute is inside the jitted train/embed steps;
+the loop touches device values only at log frequency.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prcv2025reid_tpu.configs import TrainingConfig
+from prcv2025reid_tpu.data.pipeline import HostPipeline, prefetch_to_device
+from prcv2025reid_tpu.data.sampler import PKBatchSampler
+from prcv2025reid_tpu.data.split import create_split_datasets, verify_split_integrity
+from prcv2025reid_tpu.data.tokenizer import build_tokenizer
+from prcv2025reid_tpu.data.dataset import analyze_sampling_capability
+from prcv2025reid_tpu.evaluation.protocol import GalleryCache, evaluate_protocol
+from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+from prcv2025reid_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate_state,
+)
+from prcv2025reid_tpu.training.checkpoint import (
+    latest_checkpoint_exists,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from prcv2025reid_tpu.training.monitors import (
+    CEDiagnostics,
+    MetricsHistory,
+    PairCoverageMonitor,
+    SpikeDetector,
+)
+from prcv2025reid_tpu.training.param_groups import build_optimizer, count_trainable
+from prcv2025reid_tpu.training.schedulers import SDMScheduler
+from prcv2025reid_tpu.training.train_step import (
+    TrainState,
+    make_combo_embed_step,
+    make_train_step,
+)
+
+LOG_EVERY = 100  # fetch device metrics at this cadence (train.py:1119-1120)
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, config: TrainingConfig, mesh=None):
+        self.config = config
+        os.makedirs(config.save_dir, exist_ok=True)
+        os.makedirs(config.log_dir, exist_ok=True)
+
+        # --- data (train.py:1276-1404) ---
+        self.train_ds, self.val_ds, pid2label = create_split_datasets(config)
+        verify_split_integrity(self.train_ds, self.val_ds)
+        self.num_classes = len(pid2label)
+        report = analyze_sampling_capability(self.train_ds)
+        if not report["pairable"]:
+            raise RuntimeError(
+                f"no pairable identities — training cannot proceed: {report}"
+            )
+        logger.info("sampling capability: %s", report)
+
+        self.tokenizer = build_tokenizer(
+            config.tokenizer_vocab_path,
+            config.text_vocab_size,
+            config.text_context_length,
+        )
+        self.sampler = PKBatchSampler(
+            self.train_ds,
+            config.num_ids_per_batch,
+            config.instances_per_id,
+            allow_id_reuse=config.allow_id_reuse,
+            seed=config.seed,
+            steps_per_epoch=config.steps_per_epoch,
+        )
+        # model-level dropout handles modality dropout; the per-sample path
+        # stays off so masks reflect data availability
+        self.pipeline = HostPipeline(
+            self.train_ds,
+            self.sampler,
+            self.tokenizer,
+            num_workers=config.num_workers,
+            prefetch=config.prefetch_batches,
+            seed=config.seed,
+            modality_dropout=0.0,
+        )
+
+        # --- mesh + model (train.py:1406-1425) ---
+        self.mesh = mesh if mesh is not None else create_mesh(config)
+        self.model = MultiModalReIDModel(config=config, num_classes=self.num_classes)
+        rng = jax.random.PRNGKey(config.seed)
+        B = config.batch_size
+        S = config.image_size
+        variables = self.model.init(
+            {"params": rng},
+            jnp.zeros((B, len(config.vision_modalities), S, S, 3), jnp.float32),
+            jnp.ones((B, len(config.vision_modalities)), jnp.float32),
+            jnp.zeros((B, config.text_context_length), jnp.int32),
+            jnp.ones((B,), jnp.float32),
+            train=False,
+        )
+        params = variables["params"]
+        if config.clip_weights_path:
+            from prcv2025reid_tpu.tools.convert_clip import (
+                convert_clip_params,
+                load_hf_state_dict,
+            )
+
+            hf = load_hf_state_dict(config.clip_weights_path)
+            enc_tree = {"params": params["encoder"]}
+            converted = convert_clip_params(hf, enc_tree, seed=config.seed)
+            params = dict(params)
+            params["encoder"] = converted["params"]
+            logger.info("loaded CLIP weights from %s", config.clip_weights_path)
+
+        steps_per_epoch = len(self.sampler)
+        self.tx = build_optimizer(config, params, steps_per_epoch)
+        self.state = TrainState.create(
+            params, variables["batch_stats"], self.tx, jax.random.PRNGKey(config.seed + 1)
+        )
+        self.state = replicate_state(self.state, self.mesh)
+        self.train_step = make_train_step(self.model, self.tx, config)
+        self._embed_cache: Dict = {}
+
+        counts = count_trainable(params, config.freeze_backbone)
+        logger.info("param groups: %s", counts)
+
+        # --- host-side state ---
+        self.sdm_scheduler = SDMScheduler.from_config(config)
+        self.spike_detector = SpikeDetector()
+        self.pair_coverage = PairCoverageMonitor(
+            window=config.pair_coverage_window, target=config.pair_coverage_target
+        )
+        self.ce_diag = CEDiagnostics(self.num_classes)
+        self.train_history = MetricsHistory()
+        self.eval_history = MetricsHistory()
+        self.start_epoch = 1
+        self.best_map = 0.0
+        self.gallery_cache = GalleryCache(config.eval_cache_dir, config.eval_cache_tag)
+
+    # ----- embed fns, one per modality combo -----
+
+    def embed_factory(self, modalities):
+        key = tuple(modalities)
+        if key not in self._embed_cache:
+            self._embed_cache[key] = make_combo_embed_step(self.model, key)
+        return self._embed_cache[key]
+
+    # ----- resume -----
+
+    def maybe_resume(self) -> bool:
+        if not latest_checkpoint_exists(self.config.save_dir):
+            return False
+        self.state, host = restore_checkpoint(self.config.save_dir, self.state)
+        self.start_epoch = host["epoch"] + 1
+        self.best_map = host["best_map"]
+        self.sdm_scheduler.load_state_dict(host["sdm_scheduler"])
+        self.spike_detector.load_state_dict(host["spike_detector"])
+        self.sampler.load_state_dict(host["sampler"])
+        logger.info("resumed from epoch %d (best mAP %.4f)", host["epoch"], self.best_map)
+        return True
+
+    def _host_state(self, epoch: int) -> Dict:
+        return {
+            "epoch": epoch,
+            "best_map": self.best_map,
+            "sdm_scheduler": self.sdm_scheduler.state_dict(),
+            "spike_detector": self.spike_detector.state_dict(),
+            "sampler": self.sampler.state_dict(),
+            "num_classes": self.num_classes,
+            "config": self.config.to_json(),
+        }
+
+    # ----- epoch loop -----
+
+    def train_epoch(self, epoch: int, train_metrics_prev: Optional[Dict] = None) -> Dict:
+        cfg = self.config
+        self.pipeline.set_epoch(epoch)
+        sdm_weight, sdm_tau = self.sdm_scheduler.get_parameters(
+            epoch, train_metrics_prev or {}
+        )
+        sdm_weight = self.sdm_scheduler.get_weight(epoch)
+        enable_moddrop = epoch > cfg.modality_dropout_warmup_epochs
+
+        # augmentation relaxation (train.py:1630-1644)
+        if epoch == 5 and self.spike_detector.stability_score > 0.8:
+            self.train_ds.transform.set_crop_scale_min(0.6)
+            logger.info("augmentation relaxed: crop scale 0.8 -> 0.6")
+
+        sums: Dict[str, float] = {}
+        n_steps = 0
+        n_logged = 0
+        skipped = 0
+        t0 = time.time()
+        sharding = batch_sharding(self.mesh)
+
+        def _log_metrics(metrics, batch=None):
+            nonlocal n_logged, skipped
+            fetched = {k: float(v) for k, v in metrics.items()}
+            self.spike_detector.update(fetched["total_loss"])
+            skipped += int(fetched["skipped"])
+            if batch is not None:
+                self.pair_coverage.update(
+                    np.asarray(batch["pids"]),
+                    np.asarray(batch["image_mask"]),
+                    np.asarray(batch["text_mask"]),
+                )
+            for k, v in fetched.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n_logged += 1
+            if self.ce_diag.is_random(fetched["ce_loss"]) and epoch > 2:
+                logger.warning(
+                    "CE near random baseline ln(%d)=%.3f — check labels/pairing",
+                    self.num_classes,
+                    self.ce_diag.random_baseline,
+                )
+
+        last = None
+        for batch in prefetch_to_device(
+            self.pipeline, size=cfg.prefetch_batches, sharding=sharding
+        ):
+            self.state, metrics = self.train_step(
+                self.state,
+                batch,
+                jnp.float32(sdm_weight),
+                jnp.float32(sdm_tau),
+                enable_modality_dropout=enable_moddrop,
+            )
+            n_steps += 1
+            last = (metrics, batch)
+            # host-side monitors at reduced cadence (never sync every step)
+            if n_steps % LOG_EVERY == 0 or n_steps == 1:
+                _log_metrics(metrics, batch)
+                last = None
+        if last is not None:
+            _log_metrics(*last)
+
+        avg = {k: v / max(1, n_logged) for k, v in sums.items()}
+        elapsed = time.time() - t0
+        out = {
+            "epoch": epoch,
+            "steps": n_steps,
+            "steps_per_sec": n_steps / max(elapsed, 1e-9),
+            "sdm_weight": sdm_weight,
+            "sdm_tau": sdm_tau,
+            "stability_score": self.spike_detector.stability_score,
+            "pair_coverage_mavg": self.pair_coverage.moving_average,
+            "skipped_steps": skipped,
+            **{k: avg.get(k, 0.0) for k in ("total_loss", "ce_loss", "sdm_loss", "train_top1", "grad_norm")},
+        }
+        # SDM anomaly response (train.py:1614-1628)
+        if out["sdm_loss"] > 5.0 or out["sdm_loss"] < 0.0:
+            self.sdm_scheduler.decrease_weight("sdm loss anomaly")
+        return out
+
+    def evaluate(self, epoch: Optional[int] = None, sample_ratio: Optional[float] = None) -> Dict:
+        cfg = self.config
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        result = evaluate_protocol(
+            None,
+            variables,
+            self.val_ds,
+            self.tokenizer,
+            batch_size=cfg.eval_batch_size,
+            include_patterns=cfg.eval_include_patterns,
+            cache=None,  # params change every epoch; caching is for frozen eval
+            sample_ratio=sample_ratio if sample_ratio is not None else cfg.eval_sample_ratio,
+            seed=cfg.seed,
+            embed_factory=self.embed_factory,
+        )
+        if epoch is not None:
+            logger.info(
+                "[EVAL] epoch=%d mAP(avg2)=%.4f single=%.4f quad=%.4f",
+                epoch,
+                result["map_avg2"],
+                result["map_single"],
+                result["map_quad"],
+            )
+        return result
+
+    def fit(self) -> Dict:
+        cfg = self.config
+        self.maybe_resume()
+        train_metrics: Optional[Dict] = None
+        for epoch in range(self.start_epoch, cfg.num_epochs + 1):
+            train_metrics = self.train_epoch(epoch, train_metrics)
+            self.train_history.append(train_metrics)
+            logger.info("epoch %d: %s", epoch, train_metrics)
+
+            if cfg.do_eval and epoch % cfg.eval_every_n_epoch == 0:
+                eval_metrics = self.evaluate(epoch)
+                row = {k: v for k, v in eval_metrics.items() if k != "detail"}
+                row["epoch"] = epoch
+                self.eval_history.append(row)
+                if eval_metrics["map_avg2"] > self.best_map:
+                    self.best_map = eval_metrics["map_avg2"]
+                    save_checkpoint(
+                        cfg.save_dir, self.state, self._host_state(epoch), name="best"
+                    )
+                    logger.info("new best mAP %.4f — checkpoint saved", self.best_map)
+                # SDM weight escalation gate (train.py:1614-1622)
+                if self.sdm_scheduler.can_increase_weight(epoch, train_metrics, eval_metrics):
+                    self.sdm_scheduler.increase_weight()
+
+            save_checkpoint(cfg.save_dir, self.state, self._host_state(epoch))
+            if epoch % cfg.save_freq == 0:
+                save_checkpoint(
+                    cfg.save_dir, self.state, self._host_state(epoch), name=f"epoch_{epoch}"
+                )
+            self.train_history.to_csv(os.path.join(cfg.log_dir, "train_history.csv"))
+            self.eval_history.to_csv(os.path.join(cfg.log_dir, "eval_history.csv"))
+
+        # final full-ratio eval (train.py:1727-1748)
+        final = self.evaluate(cfg.num_epochs, sample_ratio=1.0) if cfg.do_eval else {}
+        return {"best_map": self.best_map, "final": {k: v for k, v in final.items() if k != "detail"}}

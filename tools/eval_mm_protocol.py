@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Standalone MM-1..4 evaluation CLI.
+
+Reference: tools/eval_mm_protocol.py (the intended protocol, rebuilt on the
+unified engine — no bitrotted modality names; one code path with training
+eval).  Prints one JSON blob with per-combo mAP/CMC and MM-k aggregates.
+
+Usage:
+    python tools/eval_mm_protocol.py --dataset_root /data/orbench \
+        --model_path ./checkpoints/best [--cache_dir .eval_cache] \
+        [--submission out.csv] [--sample_ratio 1.0]
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from prcv2025reid_tpu.configs import TrainingConfig
+    from prcv2025reid_tpu.data.dataset import MultiModalDataset
+    from prcv2025reid_tpu.data.tokenizer import build_tokenizer
+    from prcv2025reid_tpu.evaluation.protocol import (
+        GalleryCache,
+        evaluate_protocol,
+        export_submission_csv,
+    )
+    from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+    from prcv2025reid_tpu.training.checkpoint import restore_checkpoint
+    from prcv2025reid_tpu.training.param_groups import build_optimizer
+    from prcv2025reid_tpu.training.train_step import TrainState, make_combo_embed_step
+    import jax
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset_root", required=True)
+    ap.add_argument("--json_file", default=None)
+    ap.add_argument("--model_path", required=True, help="checkpoint dir (contains host_state.json)")
+    ap.add_argument("--cache_dir", default="./.eval_cache")
+    ap.add_argument("--cache_tag", default="standalone")
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--sample_ratio", type=float, default=1.0)
+    ap.add_argument("--submission", default=None, help="also export a submission CSV here")
+    ap.add_argument("--topk", type=int, default=100)
+    ap.add_argument("--exclude_same_image", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    # config comes from the checkpoint sidecar so the model matches exactly
+    with open(os.path.join(args.model_path, "host_state.json")) as f:
+        host = json.load(f)
+    config = TrainingConfig.from_json(host["config"])
+    config = config.replace(
+        data_root=args.dataset_root,
+        json_file=args.json_file
+        or os.path.join(args.dataset_root, "text_annos.json"),
+    )
+    num_classes = host["num_classes"]
+
+    dataset = MultiModalDataset(config, split="val")
+    tokenizer = build_tokenizer(
+        config.tokenizer_vocab_path, config.text_vocab_size, config.text_context_length
+    )
+
+    model = MultiModalReIDModel(config=config, num_classes=num_classes)
+    rng = jax.random.PRNGKey(0)
+    B, S = 2, config.image_size
+    variables = model.init(
+        {"params": rng},
+        jnp.zeros((B, len(config.vision_modalities), S, S, 3), jnp.float32),
+        jnp.ones((B, len(config.vision_modalities)), jnp.float32),
+        jnp.zeros((B, config.text_context_length), jnp.int32),
+        jnp.ones((B,), jnp.float32),
+        train=False,
+    )
+    tx = build_optimizer(config, variables["params"], steps_per_epoch=1)
+    template = TrainState.create(
+        variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(1)
+    )
+    state, _ = restore_checkpoint(
+        os.path.dirname(os.path.abspath(args.model_path)),
+        template,
+        name=os.path.basename(args.model_path),
+    )
+    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+
+    embed_fns = {}
+
+    def embed_factory(mods):
+        mods = tuple(mods)
+        if mods not in embed_fns:
+            embed_fns[mods] = make_combo_embed_step(model, mods)
+        return embed_fns[mods]
+
+    result = evaluate_protocol(
+        None,
+        eval_vars,
+        dataset,
+        tokenizer,
+        batch_size=args.batch_size,
+        include_patterns=None,  # full MM-1..4 protocol
+        exclude_same_image=args.exclude_same_image,
+        cache=GalleryCache(args.cache_dir, args.cache_tag),
+        sample_ratio=args.sample_ratio,
+        embed_factory=embed_factory,
+    )
+    print(json.dumps(result, indent=2, default=float))
+
+    if args.submission:
+        n = export_submission_csv(
+            None,
+            eval_vars,
+            dataset,
+            tokenizer,
+            args.submission,
+            batch_size=args.batch_size,
+            top_k=args.topk,
+            embed_factory=embed_factory,
+        )
+        logging.info("submission: %d rows -> %s", n, args.submission)
+    return result
+
+
+if __name__ == "__main__":
+    main()

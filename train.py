@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Training entry point (reference: train.py::train_multimodal_reid).
+
+Usage:
+    python train.py [--key=value ...]
+
+Every TrainingConfig field is overridable, e.g.:
+    python train.py --data_root=/data/orbench --num_epochs=60 \
+        --clip_weights_path=/ckpts/clip-vit-base-patch16
+"""
+import logging
+import sys
+
+
+def main(argv=None):
+    from prcv2025reid_tpu.configs import TrainingConfig, apply_cli_overrides
+    from prcv2025reid_tpu.training.trainer import Trainer
+
+    argv = sys.argv[1:] if argv is None else argv
+    config = apply_cli_overrides(TrainingConfig(), argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(f"{config.log_dir}/training.log", delay=True),
+        ],
+    )
+
+    trainer = Trainer(config)
+    result = trainer.fit()
+    logging.info("training done: %s", result)
+    return result
+
+
+if __name__ == "__main__":
+    main()
