@@ -28,10 +28,19 @@ def create_mesh(
     config: Optional[TrainingConfig] = None,
     devices: Optional[Sequence] = None,
     n_devices: Optional[int] = None,
+    batch_size: Optional[int] = None,
 ) -> Mesh:
+    """Data-parallel mesh.  With ``batch_size`` given, the mesh shrinks to the
+    largest device count that divides the batch (a P*K batch is not always a
+    multiple of the chip count)."""
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
+    if batch_size is not None:
+        n = len(devs)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devs = devs[:n]
     return Mesh(np.asarray(devs).reshape(len(devs)), (DATA_AXIS,))
 
 

@@ -98,7 +98,11 @@ class Trainer:
         )
 
         # --- mesh + model (train.py:1406-1425) ---
-        self.mesh = mesh if mesh is not None else create_mesh(config)
+        self.mesh = (
+            mesh
+            if mesh is not None
+            else create_mesh(config, batch_size=config.batch_size)
+        )
         self.model = MultiModalReIDModel(config=config, num_classes=self.num_classes)
         rng = jax.random.PRNGKey(config.seed)
         B = config.batch_size

@@ -1,0 +1,86 @@
+"""End-to-end trainer test on the synthetic ORBench tree (SURVEY.md §4 tier d):
+train a tiny model for 2 epochs, evaluate, checkpoint, and resume."""
+import os
+
+import numpy as np
+import pytest
+
+from prcv2025reid_tpu.configs import TrainingConfig
+from prcv2025reid_tpu.training.trainer import Trainer
+
+TINY = dict(
+    vision_hidden_dim=64,
+    vision_layers=2,
+    vision_heads=4,
+    vision_mlp_dim=128,
+    text_hidden_dim=32,
+    text_layers=2,
+    text_heads=4,
+    text_mlp_dim=64,
+    text_vocab_size=100,
+    text_context_length=16,
+    image_size=32,
+    fusion_dim=32,
+    sdm_semantic_dim=32,
+    sdm_num_heads=4,
+    fusion_num_heads=4,
+    compute_dtype="float32",
+    use_pallas_attention=False,
+    drop_path=0.0,
+    num_epochs=2,
+    warmup_epochs=1,
+    num_ids_per_batch=2,
+    instances_per_id=2,
+    steps_per_epoch=3,
+    num_workers=0,
+    eval_sample_ratio=1.0,
+    eval_batch_size=4,
+    save_freq=50,
+)
+
+
+@pytest.fixture()
+def trainer_config(tiny_data_config, tmp_path):
+    return tiny_data_config.replace(
+        **TINY,
+        save_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        eval_cache_dir=str(tmp_path / "cache"),
+    )
+
+
+def test_fit_and_resume(trainer_config):
+    trainer = Trainer(trainer_config)
+    result = trainer.fit()
+    assert "best_map" in result
+    assert 0.0 <= result["best_map"] <= 1.0
+    assert result["final"]["map_avg2"] >= 0.0
+    # histories written
+    assert os.path.exists(os.path.join(trainer_config.log_dir, "train_history.csv"))
+    assert os.path.exists(os.path.join(trainer_config.log_dir, "eval_history.csv"))
+    rows = open(os.path.join(trainer_config.log_dir, "train_history.csv")).read().strip().split("\n")
+    assert len(rows) == 3  # header + 2 epochs
+    # latest + best checkpoints exist
+    assert os.path.isdir(os.path.join(trainer_config.save_dir, "latest"))
+
+    step_after = int(trainer.state.step)
+    assert step_after == 2 * trainer_config.steps_per_epoch
+
+    # --- resume: a fresh trainer picks up after the last epoch ---
+    trainer2 = Trainer(trainer_config)
+    assert trainer2.maybe_resume()
+    assert trainer2.start_epoch == 3
+    assert int(trainer2.state.step) == step_after
+    assert trainer2.best_map == trainer.best_map
+
+
+def test_train_loss_metrics_sane(trainer_config):
+    trainer = Trainer(trainer_config)
+    m = trainer.train_epoch(1)
+    assert m["steps"] == trainer_config.steps_per_epoch
+    assert np.isfinite(m["total_loss"])
+    assert m["sdm_weight"] == 0.0  # epoch 1 = SDM warmup
+    m2 = trainer.train_epoch(2, m)
+    assert m2["sdm_weight"] == pytest.approx(0.1)  # schedule starts
+    assert 0.0 <= m2["stability_score"] <= 1.0
+    assert 0.0 <= m2["pair_coverage_mavg"] <= 1.0
