@@ -181,10 +181,50 @@ class HashTokenizer:
         return out
 
 
+class CachedTokenizer:
+    """Memoizing wrapper — captions repeat every epoch, so tokenize each
+    distinct string once (the reference's ``text_cache``,
+    models/clip_backbone.py:174, moved out of the forward pass)."""
+
+    def __init__(self, inner, max_entries: int = 200_000):
+        self.inner = inner
+        self.context_length = inner.context_length
+        self.max_entries = max_entries
+        self._cache: dict = {}
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.context_length), np.int32)
+        misses = [t for t in dict.fromkeys(texts) if t not in self._cache]
+        if misses:
+            rows = self.inner(misses)
+            if len(self._cache) + len(misses) <= self.max_entries:
+                for t, row in zip(misses, rows):
+                    self._cache[t] = row
+            else:  # cache full: fill what fits
+                for t, row in zip(misses, rows):
+                    if len(self._cache) >= self.max_entries:
+                        break
+                    self._cache[t] = row
+        fallback = {}
+        for i, t in enumerate(texts):
+            row = self._cache.get(t)
+            if row is None:
+                if t not in fallback:
+                    fallback[t] = self.inner([t])[0]
+                row = fallback[t]
+            out[i] = row
+        return out
+
+
 def build_tokenizer(
-    vocab_path: Optional[str], vocab_size: int = 49408, context_length: int = 77
+    vocab_path: Optional[str],
+    vocab_size: int = 49408,
+    context_length: int = 77,
+    cache: bool = True,
 ):
     """Pick the real BPE when vocab files exist; hashed fallback otherwise."""
     if vocab_path and os.path.isdir(vocab_path):
-        return ClipBPETokenizer(vocab_path, context_length)
-    return HashTokenizer(vocab_size, context_length)
+        tok = ClipBPETokenizer(vocab_path, context_length)
+    else:
+        tok = HashTokenizer(vocab_size, context_length)
+    return CachedTokenizer(tok) if cache else tok

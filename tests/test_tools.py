@@ -1,0 +1,126 @@
+"""Tests for diagnostics, profiling utils, cached tokenizer, and the
+convert-CLI npz round trip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prcv2025reid_tpu.configs import TrainingConfig
+from prcv2025reid_tpu.data.tokenizer import CachedTokenizer, HashTokenizer, build_tokenizer
+from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+from prcv2025reid_tpu.tools.diagnose import activation_report, summarize
+from prcv2025reid_tpu.utils.profiling import StepTimer, cost_summary
+
+TINY = dict(
+    vision_hidden_dim=64,
+    vision_layers=2,
+    vision_heads=4,
+    vision_mlp_dim=128,
+    text_hidden_dim=32,
+    text_layers=2,
+    text_heads=4,
+    text_mlp_dim=64,
+    text_vocab_size=100,
+    text_context_length=16,
+    image_size=32,
+    fusion_dim=32,
+    sdm_semantic_dim=32,
+    sdm_num_heads=4,
+    fusion_num_heads=4,
+    compute_dtype="float32",
+    use_pallas_attention=False,
+    drop_path=0.0,
+)
+
+
+class TestDiagnose:
+    def test_activation_report(self):
+        config = TrainingConfig(**TINY)
+        model = MultiModalReIDModel(config=config, num_classes=5, dtype=jnp.float32)
+        B = 2
+        batch = {
+            "images": jnp.ones((B, 4, 32, 32, 3)),
+            "image_mask": jnp.ones((B, 4)),
+            "text_tokens": jnp.ones((B, 16), jnp.int32).at[:, 3].set(99),
+            "text_mask": jnp.ones(B),
+        }
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            batch["images"],
+            batch["image_mask"],
+            batch["text_tokens"],
+            batch["text_mask"],
+            train=False,
+        )
+        report = activation_report(model, variables, batch)
+        assert len(report) > 10
+        # trunk blocks and fusion must appear
+        assert any("block_0" in k for k in report)
+        assert any("fusion" in k for k in report)
+        for e in report.values():
+            assert e["nonfinite"] == 0
+        lines = summarize(report)
+        assert len(lines) == len(report)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        t = StepTimer(warmup=1)
+        for _ in range(5):
+            t.tick()
+        assert len(t.times) == 3
+        assert t.steps_per_sec() > 0
+
+    def test_cost_summary(self):
+        f = jax.jit(lambda x: x @ x)
+        x = jnp.ones((64, 64))
+        out = cost_summary(f, x)
+        assert out.get("flops", 0) > 0
+
+
+class TestCachedTokenizer:
+    def test_matches_inner(self):
+        inner = HashTokenizer(100, 16)
+        cached = CachedTokenizer(inner)
+        texts = ["a b", "c d", "a b", ""]
+        np.testing.assert_array_equal(cached(texts), inner(texts))
+        # second call hits the cache
+        np.testing.assert_array_equal(cached(texts), inner(texts))
+        assert len(cached._cache) == 3
+
+    def test_build_tokenizer_wraps(self):
+        tok = build_tokenizer(None, 100, 16)
+        assert isinstance(tok, CachedTokenizer)
+
+
+class TestConvertCLI:
+    def test_npz_export(self, tmp_path):
+        """convert_clip.main writes a flat npz from a random HF snapshot."""
+        pytest.importorskip("transformers")
+        import torch
+        from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+        torch.manual_seed(0)
+        cfg = CLIPConfig(
+            text_config=CLIPTextConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=4, vocab_size=100, max_position_embeddings=16,
+                projection_dim=32,
+            ).to_dict(),
+            vision_config=CLIPVisionConfig(
+                hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, image_size=32, patch_size=16,
+                projection_dim=32,
+            ).to_dict(),
+            projection_dim=32,
+        )
+        model = CLIPModel(cfg)
+        snap = tmp_path / "snap"
+        snap.mkdir()
+        torch.save(model.state_dict(), snap / "pytorch_model.bin")
+
+        from prcv2025reid_tpu.tools.convert_clip import load_hf_state_dict
+
+        sd = load_hf_state_dict(str(snap))
+        assert "vision_model.embeddings.class_embedding" in sd
+        assert sd["visual_projection.weight"].shape == (32, 64)
