@@ -221,10 +221,22 @@ def build_tokenizer(
     vocab_size: int = 49408,
     context_length: int = 77,
     cache: bool = True,
+    prefer_native: bool = True,
 ):
-    """Pick the real BPE when vocab files exist; hashed fallback otherwise."""
+    """Preference order: native C++ BPE -> Python BPE -> hashed fallback."""
+    tok = None
     if vocab_path and os.path.isdir(vocab_path):
-        tok = ClipBPETokenizer(vocab_path, context_length)
+        if prefer_native:
+            try:
+                from prcv2025reid_tpu.data.native_tokenizer import (
+                    NativeClipBPETokenizer,
+                )
+
+                tok = NativeClipBPETokenizer(vocab_path, context_length)
+            except Exception:
+                tok = None
+        if tok is None:
+            tok = ClipBPETokenizer(vocab_path, context_length)
     else:
         tok = HashTokenizer(vocab_size, context_length)
     return CachedTokenizer(tok) if cache else tok
