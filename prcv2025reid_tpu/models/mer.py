@@ -58,13 +58,20 @@ class _SharedParams(nn.Module):
 class MERDense(nn.Module):
     """Shared Dense + stacked per-modality LoRA (reference: models/mer_lora.py:52-106).
 
-    MXU-fused layout: the stacked lora_A [M, in, r] is reshaped to [in, M*r]
-    and CONCATENATED onto the shared kernel, so trunk + all LoRA
-    down-projections ride ONE matmul [., in] @ [in, out + M*r] (out 768 ->
-    784 at M=4, r=4 — ~2% extra columns).  The expert mask then zeroes the
-    non-selected rank columns and the up-projection is one thin
-    [., M*r] @ [M*r, out] matmul.  Measured: the naive two-einsum form costs
-    ~34% of a ViT block on v5e; this form is ~2%.
+    MXU-friendly layout: the stacked lora_A [M, in, r] is reshaped to
+    [in, M*r] so all experts' down-projections ride ONE thin matmul; expert
+    selection is a mask over the M*r=16 rank columns (a one-hot repeated r
+    times); the up-projection is one [., M*r] @ [M*r, out] matmul that XLA
+    fuses into the residual add.  The shared trunk matmul stays a clean
+    [., in] @ [in, out] with 128-aligned output columns.
+
+    Profiling note (v5e, xplane trace): concatenating A onto the shared
+    kernel (one 768->784 matmul) looks tighter but forces a batch-minor
+    output layout for the downstream split — every trunk projection dropped
+    to ~20 TFLOP/s.  Keeping the shared matmul 768-wide restores ~170 TFLOP/s;
+    the separate 16-column LoRA matmuls are noise.  Likewise the naive
+    einsum '...i,mir->...mr' form materializes [B, S, M, r] with pathological
+    layouts.  Don't "re-fuse" this without re-profiling.
     """
 
     features: int
@@ -101,11 +108,10 @@ class MERDense(nn.Module):
         xa = x.astype(dt)
         mr = self.num_experts * self.rank
 
-        a2 = lora_a.transpose(1, 0, 2).reshape(in_dim, mr)
-        w_cat = jnp.concatenate([kernel, a2], axis=1).astype(dt)
-        out = xa @ w_cat  # [..., features + M*r]
-        y = out[..., : self.features]
-        z = out[..., self.features :]  # [..., M*r]
+        y = xa @ kernel.astype(dt)  # clean, 128-aligned trunk matmul
+
+        a2 = lora_a.transpose(1, 0, 2).reshape(in_dim, mr).astype(dt)
+        z = xa @ a2  # [..., M*r] — 16 columns, negligible
 
         # expert mask expanded over the rank columns, expert axis pinned
         mask = jnp.repeat(expert_onehot, self.rank, axis=-1)  # [B, M*r]
@@ -113,8 +119,7 @@ class MERDense(nn.Module):
         z = z * mask.astype(dt)
 
         b2 = lora_b.reshape(mr, self.features).astype(dt)
-        delta = z @ b2
-        y = y + delta * (self.alpha / self.rank)
+        y = y + (z @ b2) * (self.alpha / self.rank)
         if bias is not None:
             y = y + bias.astype(dt)
         return y
