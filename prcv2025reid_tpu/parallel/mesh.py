@@ -68,6 +68,33 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
 
+def make_global_batch(local_batch: Dict, mesh: Mesh) -> Dict:
+    """Multi-host batch formation: each process holds its LOCAL slice of the
+    global batch; this assembles global jax.Arrays sharded over the data axis
+    (DCN only carries input data, SURVEY.md §5.8).  On a single-process mesh
+    it is equivalent to ``shard_batch``."""
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh)
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch,
+    )
+
+
+def process_local_indices(n: int, process_index: Optional[int] = None,
+                          process_count: Optional[int] = None):
+    """Split a global per-batch index list across host processes.
+
+    Each process feeds its contiguous slice of every global batch; the global
+    batch size must divide by the process count (the trainer pads).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = n // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
 def pad_batch_to(batch: Dict, size: int) -> Dict:
     """Pad every array's batch dim to ``size`` with zeros; padded rows carry
     zero masks and label -1 so every loss/metric ignores them."""

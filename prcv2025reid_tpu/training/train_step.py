@@ -216,3 +216,38 @@ def make_combo_embed_step(model: MultiModalReIDModel, active: Tuple[str, ...]) -
         return feats / jnp.maximum(jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
 
     return embed
+
+
+def make_weighted_embed_step(
+    model: MultiModalReIDModel,
+    active: Tuple[str, ...],
+    weights: Dict[str, float] | None = None,
+) -> Callable:
+    """Weighted-sum query fusion — the standalone eval tool's fallback when
+    not using the model's fusion (tools/eval_mm_protocol.py:133-219: per-
+    modality features combined by fixed weights, text 1.2).  Each active
+    modality is embedded alone through the full head (fusion of a single
+    token + BNNeck), then the L2-normalized features are weight-summed and
+    re-normalized."""
+    active = tuple(active)
+    weights = weights or {}
+    w = tuple(float(weights.get(m, 1.2 if m == "text" else 1.0)) for m in active)
+
+    @jax.jit
+    def embed(params_and_stats, batch):
+        acc = None
+        for mod, wm in zip(active, w):
+            f = model.apply(
+                params_and_stats,
+                batch["images"],
+                batch["image_mask"],
+                batch["text_tokens"],
+                batch["text_mask"],
+                (mod,),
+                method=model.encode_subset,
+            ).astype(jnp.float32)
+            f = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+            acc = f * wm if acc is None else acc + f * wm
+        return acc / jnp.maximum(jnp.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
+
+    return embed
