@@ -105,18 +105,95 @@ def _pallas_mha_fwd_impl(
     return out[:, :S, :].reshape(B, H, S, Dh)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def pallas_mha(q, k, v, causal: bool = False, interpret: bool = False):
+def _attn_kernel_batched_heads(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, s_actual: int
+):
+    """v2 kernel: one program per BATCH item, all H heads batched in one
+    dot_general — bigger MXU tiles, H x fewer programs."""
+    q = q_ref[0].astype(jnp.float32)  # [H, Sp, Dh]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    logits = (
+        jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # [H, Sp, Sp]
+
+    H, Sp, _ = logits.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, Sp, Sp), 2)
+    mask = col < s_actual
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, Sp, Sp), 1)
+        mask = mask & (row >= col)
+    logits = jnp.where(mask, logits, -1e9)
+
+    logits = logits - jnp.max(logits, axis=2, keepdims=True)
+    p = jnp.exp(logits)
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+
+    out = jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Sp, Dh]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pallas_mha_fwd_batched(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, causal: bool, interpret: bool
+) -> jnp.ndarray:
+    B, H, S, Dh = q.shape
+    scale = Dh**-0.5
+    Sp = -(-S // _ALIGN) * _ALIGN
+
+    def prep(t):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, Sp - S), (0, 0))) if Sp != S else t
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    kernel = functools.partial(
+        _attn_kernel_batched_heads, scale=scale, causal=causal, s_actual=S
+    )
+    kw = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
+    block = pl.BlockSpec((1, H, Sp, Dh), lambda i: (i, 0, 0, 0), **kw)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((B, H, Sp, Dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sp * Sp * Dh,
+            bytes_accessed=4 * B * H * Sp * Dh * q.dtype.itemsize,
+            transcendentals=B * H * Sp * Sp,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :, :S, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def pallas_mha(q, k, v, causal: bool = False, interpret: bool = False, kernel_version: int = 2):
     """Fused MHA: q/k/v [B, H, S, Dh] -> [B, H, S, Dh]."""
+    if kernel_version == 2:
+        return _pallas_mha_fwd_batched(q, k, v, causal, interpret)
     return _pallas_mha_fwd_impl(q, k, v, causal, interpret)
 
 
-def _fwd(q, k, v, causal, interpret):
-    out = _pallas_mha_fwd_impl(q, k, v, causal, interpret)
+def _fwd(q, k, v, causal, interpret, kernel_version):
+    if kernel_version == 2:
+        out = _pallas_mha_fwd_batched(q, k, v, causal, interpret)
+    else:
+        out = _pallas_mha_fwd_impl(q, k, v, causal, interpret)
     return out, (q, k, v)
 
 
-def _bwd(causal, interpret, res, g):
+def _bwd(causal, interpret, kernel_version, res, g):
     """Flash-style recompute backward in XLA (S is small, recompute is cheap).
 
     dV = P^T g ; dP = g V^T ; dS = P * (dP - rowsum(P * dP)) ;
