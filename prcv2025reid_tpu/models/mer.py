@@ -125,11 +125,46 @@ class MERDense(nn.Module):
         return y
 
 
+class _MERProjParams(nn.Module):
+    """Declares one MER projection's parameters (shared/kernel, shared/bias,
+    lora_A, lora_B) WITHOUT computing — used by MERAttention to pack Q/K/V
+    into one matmul while keeping the exact MERDense param-tree paths the
+    converter and freeze masks rely on."""
+
+    features: int
+    num_experts: int
+    rank: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel, bias = _SharedParams(
+            self.features, True, self.param_dtype, name="shared"
+        )(in_dim)
+        lora_a = self.param(
+            "lora_A",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (self.num_experts, in_dim, self.rank),
+            self.param_dtype,
+        )
+        lora_b = self.param(
+            "lora_B",
+            nn.initializers.zeros,
+            (self.num_experts, self.rank, self.features),
+            self.param_dtype,
+        )
+        return kernel, bias, lora_a, lora_b
+
+
 class MERAttention(nn.Module):
     """MHA with MER-routed Q/K/V/out projections (reference: models/mer_lora.py:109-231).
 
-    The attention core is pluggable (Pallas fused kernel on TPU / XLA einsum
-    elsewhere) — the TPU counterpart of the reference's SDPA/flash call.
+    TPU layout: the three Q/K/V projections pack into ONE [., D] @ [D, 3D]
+    matmul (3D = 2304 = 18*128, clean tiling; slice points are 128-aligned so
+    XLA keeps feature-minor layouts) plus one packed [., D] @ [D, 3*M*r] LoRA
+    down-projection.  The attention core is pluggable (Pallas fused kernel on
+    TPU / XLA einsum elsewhere) — the TPU counterpart of the reference's
+    SDPA/flash call.
     """
 
     num_heads: int
@@ -145,16 +180,38 @@ class MERAttention(nn.Module):
         B, S, D = x.shape
         assert D % self.num_heads == 0
         head_dim = D // self.num_heads
-        mer = dict(
-            num_experts=self.num_experts,
-            rank=self.rank,
-            alpha=self.alpha,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )
-        q = MERDense(D, name="q_proj", **mer)(x, expert_onehot)
-        k = MERDense(D, name="k_proj", **mer)(x, expert_onehot)
-        v = MERDense(D, name="v_proj", **mer)(x, expert_onehot)
+        mr = self.num_experts * self.rank
+        dt = self.dtype or x.dtype
+
+        projs = []
+        for name in ("q_proj", "k_proj", "v_proj"):
+            projs.append(
+                _MERProjParams(
+                    D, self.num_experts, self.rank, self.param_dtype, name=name
+                )(D)
+            )
+
+        w_pack = jnp.concatenate([p[0] for p in projs], axis=1).astype(dt)  # [D, 3D]
+        b_pack = jnp.concatenate([p[1] for p in projs], axis=0).astype(dt)  # [3D]
+        a_pack = jnp.concatenate(
+            [p[2].transpose(1, 0, 2).reshape(D, mr) for p in projs], axis=1
+        ).astype(dt)  # [D, 3*M*r]
+
+        xa = x.astype(dt)
+        qkv = xa @ w_pack + b_pack  # one clean matmul
+        z = xa @ a_pack  # [B, S, 3*M*r]
+
+        mask = jnp.repeat(expert_onehot, self.rank, axis=-1)  # [B, M*r]
+        mask3 = jnp.tile(mask, (1, 3)).reshape(B, 1, 3 * mr).astype(dt)
+        z = z * mask3
+
+        scale = self.alpha / self.rank
+        outs = []
+        for i, p in enumerate(projs):
+            b2 = p[3].reshape(mr, D).astype(dt)
+            delta = z[..., i * mr : (i + 1) * mr] @ b2
+            outs.append(qkv[..., i * D : (i + 1) * D] + delta * scale)
+        q, k, v = outs
 
         def split(t):
             return t.reshape(B, S, self.num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -163,6 +220,13 @@ class MERAttention(nn.Module):
             split(q), split(k), split(v), impl=self.attn_impl
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        mer = dict(
+            num_experts=self.num_experts,
+            rank=self.rank,
+            alpha=self.alpha,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
         return MERDense(D, name="out_proj", **mer)(out, expert_onehot)
 
 
