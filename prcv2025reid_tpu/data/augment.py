@@ -50,8 +50,20 @@ def _random_resized_crop_params(
     return (width - w) // 2, (height - h) // 2, w, h
 
 
+# uint8 pixel values whose normalized form is ~0 (erase fill; the reference
+# erases with 0 in NORMALIZED space, datasets/dataset.py:269-276)
+_ERASE_FILL_U8 = np.round(IMAGENET_MEAN * 255.0).astype(np.uint8)
+
+
 class ImageTransform:
-    """Train/val transform: PIL image -> normalized float32 [H, W, 3]."""
+    """Train/val transform: PIL image -> uint8 [H, W, 3].
+
+    The host side stays in uint8 (integer jitter/erase, PIL crops) — 4x less
+    worker IPC + host->device traffic than float32; the jitted model applies
+    /255 + ImageNet normalization on device (fused into the first matmul by
+    XLA).  Augment semantics match the reference's float pipeline up to
+    uint8 rounding.
+    """
 
     def __init__(
         self,
@@ -84,24 +96,23 @@ class ImageTransform:
             img = img.resize((S, S), Image.BILINEAR, box=(left, top, left + w, top + h))
             if self.flip and rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
-            x = np.asarray(img, np.float32) / 255.0
+            x = np.asarray(img, np.uint8)
             if self.color_jitter > 0:
-                # brightness then contrast, random order & factors (torchvision semantics)
+                x = x.astype(np.int16)
                 b = rng.uniform(1 - self.color_jitter, 1 + self.color_jitter)
                 c = rng.uniform(1 - self.color_jitter, 1 + self.color_jitter)
                 if rng.random() < 0.5:
-                    x = np.clip(x * b, 0, 1)
+                    x = np.clip(x * b, 0, 255)
                     gray = x.mean()
-                    x = np.clip((x - gray) * c + gray, 0, 1)
+                    x = np.clip((x - gray) * c + gray, 0, 255)
                 else:
                     gray = x.mean()
-                    x = np.clip((x - gray) * c + gray, 0, 1)
-                    x = np.clip(x * b, 0, 1)
+                    x = np.clip((x - gray) * c + gray, 0, 255)
+                    x = np.clip(x * b, 0, 255)
+                x = x.astype(np.uint8)
         else:
             img = img.resize((S, S), Image.BILINEAR)
-            x = np.asarray(img, np.float32) / 255.0
-
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+            x = np.asarray(img, np.uint8)
 
         if self.train and rng is not None and self.random_erase > 0:
             if rng.random() < self.random_erase:
@@ -126,6 +137,23 @@ class ImageTransform:
                 top = int(rng.integers(0, H - h + 1))
                 left = int(rng.integers(0, W - w + 1))
                 x = x.copy()
-                x[top : top + h, left : left + w] = 0.0
+                x[top : top + h, left : left + w] = _ERASE_FILL_U8
                 return x
         return x
+
+
+def normalize_images_device(images, dtype=None):
+    """uint8 [..., H, W, 3] -> ImageNet-normalized float on DEVICE (jit-side).
+
+    Float inputs pass through unchanged (already-normalized path used by unit
+    tests and the converter parity harness).
+    """
+    import jax.numpy as jnp
+
+    if images.dtype == jnp.uint8:
+        dt = dtype or jnp.float32
+        x = images.astype(dt) / 255.0
+        mean = jnp.asarray(IMAGENET_MEAN, dt)
+        std = jnp.asarray(IMAGENET_STD, dt)
+        return (x - mean) / std
+    return images if dtype is None else images.astype(dtype)

@@ -195,7 +195,7 @@ class MultiModalDataset:
             VIEWS[int(rng.integers(0, len(VIEWS)))] if self.is_training else "front"
         )
 
-        images = np.zeros((len(VISION_MODALITIES), S, S, 3), np.float32)
+        images = np.zeros((len(VISION_MODALITIES), S, S, 3), np.uint8)
         mask = np.zeros(len(VISION_MODALITIES), np.float32)
         for mi, mod in enumerate(VISION_MODALITIES):
             if modality_dropout > 0 and rng.random() <= modality_dropout:
@@ -253,7 +253,7 @@ class MultiModalDataset:
         rec = self.records[idx]
         S = self.config.image_size
         target_view = "front"
-        images = np.zeros((len(VISION_MODALITIES), S, S, 3), np.float32)
+        images = np.zeros((len(VISION_MODALITIES), S, S, 3), np.uint8)
         mask = np.zeros(len(VISION_MODALITIES), np.float32)
         wants_text = "text" in query_modalities
         for mi, mod in enumerate(VISION_MODALITIES):

@@ -1,4 +1,4 @@
-"""Batch collation + threaded host pipeline + device prefetch.
+"""Batch collation + multiprocess host pipeline + device prefetch.
 
 Reference counterparts:
 - ``collate``: compatible_collate_fn (datasets/dataset.py:1467-1606) — stacks
@@ -6,14 +6,22 @@ Reference counterparts:
   actually non-zero AND the sampler-declared mask (|x|.sum() > 1e-6 clause at
   datasets/dataset.py:1526-1554).
 - ``HostPipeline``: replaces torch DataLoader workers (train.py:1388-1396)
-  with a thread pool (PIL decode releases the GIL) feeding a bounded queue.
+  with spawn-based worker PROCESSES (decode+augment is GIL-bound in threads —
+  measured ~50 samples/s single-thread with zero thread scaling).  Workers
+  run pure numpy/PIL (no jax import -> no device contention); the main
+  process collates and tokenizes (tokenization is cached/native and cheap).
 - ``prefetch_to_device``: replaces pinned-memory + non_blocking H2D copies
   (train.py:68-83) with double-buffered ``jax.device_put``.
+
+Images travel as uint8 (4x less IPC and H2D traffic than float32);
+normalization runs on device inside the model (see data/augment.py).
 """
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
+from concurrent.futures import ProcessPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -24,10 +32,10 @@ from prcv2025reid_tpu.data.sampler import PKBatchSampler
 
 def collate(samples: Sequence[Dict], tokenizer) -> Dict[str, np.ndarray]:
     """Stack samples into the dense batch the model consumes."""
-    images = np.stack([s["images"] for s in samples])  # [B, Mv, H, W, 3]
+    images = np.stack([s["images"] for s in samples])  # [B, Mv, H, W, 3] uint8
     declared = np.stack([s["image_mask"] for s in samples])  # [B, Mv]
     # real-mask recomputation: declared AND tensor-non-zero
-    nonzero = (np.abs(images).sum(axis=(2, 3, 4)) > 1e-6).astype(np.float32)
+    nonzero = (np.abs(images).sum(axis=(2, 3, 4)) > 0).astype(np.float32)
     image_mask = declared * nonzero
 
     captions = [s["caption"] or "" for s in samples]
@@ -45,8 +53,30 @@ def collate(samples: Sequence[Dict], tokenizer) -> Dict[str, np.ndarray]:
     }
 
 
+# ----- worker-process plumbing (spawn-safe, no jax in workers) -----
+
+_WORKER_DS: Optional[MultiModalDataset] = None
+_WORKER_DROPOUT: Optional[float] = None
+
+
+def _worker_init(dataset: MultiModalDataset, modality_dropout: Optional[float]):
+    global _WORKER_DS, _WORKER_DROPOUT
+    _WORKER_DS = dataset
+    _WORKER_DROPOUT = modality_dropout
+
+
+def _worker_make_samples(args):
+    pos, indices, seed = args
+    rng = np.random.default_rng(seed)
+    samples = [
+        _WORKER_DS.get_sample(i, rng, modality_dropout=_WORKER_DROPOUT)
+        for i in indices
+    ]
+    return pos, samples
+
+
 class HostPipeline:
-    """Sampler -> per-sample load/augment -> collate, with worker threads."""
+    """Sampler -> per-sample load/augment (worker processes) -> collate."""
 
     def __init__(
         self,
@@ -66,6 +96,7 @@ class HostPipeline:
         self.seed = seed
         self.epoch = 0
         self.modality_dropout = modality_dropout
+        self._pool: Optional[ProcessPoolExecutor] = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -77,6 +108,28 @@ class HostPipeline:
             for i in indices
         ]
         return collate(samples, self.tokenizer)
+
+    def _ensure_pool(self) -> ProcessPoolExecutor:
+        if self._pool is None:
+            ctx = mp.get_context("spawn")
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=ctx,
+                initializer=_worker_init,
+                initargs=(self.dataset, self.modality_dropout),
+            )
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -91,40 +144,20 @@ class HostPipeline:
                 yield self._make_batch(idxs, s)
             return
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.num_workers)
-        task_q: "queue.Queue" = queue.Queue()
-        for pos, (idxs, s) in enumerate(zip(index_batches, seeds)):
-            task_q.put((pos, idxs, s))
-        n_tasks = len(index_batches)
-
-        def worker():
-            while True:
-                try:
-                    pos, idxs, s = task_q.get_nowait()
-                except queue.Empty:
-                    return
-                out_q.put((pos, self._make_batch(idxs, s)))
-
-        threads = [
-            threading.Thread(target=worker, daemon=True)
-            for _ in range(self.num_workers)
-        ]
-        for t in threads:
-            t.start()
-
-        # re-order to deterministic sequence
-        buffer: Dict[int, Dict] = {}
+        pool = self._ensure_pool()
+        inflight = self.num_workers + self.prefetch
+        futures: Dict[int, object] = {}
+        tasks = list(enumerate(zip(index_batches, seeds)))
+        next_submit = 0
         next_pos = 0
-        received = 0
-        while received < n_tasks:
-            pos, batch = out_q.get()
-            buffer[pos] = batch
-            received += 1
-            while next_pos in buffer:
-                yield buffer.pop(next_pos)
-                next_pos += 1
-        while next_pos in buffer:
-            yield buffer.pop(next_pos)
+        while next_pos < len(tasks):
+            while next_submit < len(tasks) and len(futures) < inflight:
+                pos, (idxs, s) = tasks[next_submit]
+                futures[pos] = pool.submit(_worker_make_samples, (pos, idxs, s))
+                next_submit += 1
+            fut = futures.pop(next_pos)
+            _, samples = fut.result()
+            yield collate(samples, self.tokenizer)
             next_pos += 1
 
 

@@ -321,14 +321,33 @@ class MultiModalReIDModel(nn.Module):
         null = self.null_tokens.astype(dt)
         feats = jnp.broadcast_to(null[None], (B, M, null.shape[-1])).astype(dt)
         masks = jnp.zeros((B, M), jnp.float32)
-        for mi, mod in enumerate(vis_mods):
-            if mod not in active:
-                continue
-            f = self.encoder.encode_vision(images[:, mi], mi, deterministic=True)
-            m = image_mask[:, mi].astype(jnp.float32)
-            blended = m[:, None].astype(dt) * f + (1 - m[:, None]).astype(dt) * null[mi]
-            feats = feats.at[:, mi].set(blended)
-            masks = masks.at[:, mi].set(m)
+
+        # ONE trunk call over all active vision modalities: patchify each
+        # active slot, stack to [B*n_act, 197, D] with per-row expert
+        # one-hots (same trick as the training path's encode_stacked).
+        active_vis = [(mi, mod) for mi, mod in enumerate(vis_mods) if mod in active]
+        if active_vis:
+            vit = self.encoder.vision
+            token_list = [
+                vit.patch_embeds[mod](images[:, mi]) for mi, mod in active_vis
+            ]
+            tokens = jnp.concatenate(token_list, axis=0)  # [n_act*B, P, D]
+            onehot = jnp.concatenate(
+                [
+                    jnp.zeros((B, Mv), tokens.dtype).at[:, mi].set(1.0)
+                    for mi, _ in active_vis
+                ],
+                axis=0,
+            )
+            all_feats = vit.trunk(tokens, onehot, deterministic=True)  # [n_act*B, D]
+            for j, (mi, _) in enumerate(active_vis):
+                f = all_feats[j * B : (j + 1) * B]
+                m = image_mask[:, mi].astype(jnp.float32)
+                blended = (
+                    m[:, None].astype(dt) * f + (1 - m[:, None]).astype(dt) * null[mi]
+                )
+                feats = feats.at[:, mi].set(blended)
+                masks = masks.at[:, mi].set(m)
         if "text" in active:
             f = self.encoder.encode_text(text_tokens)
             m = text_mask.astype(jnp.float32)

@@ -53,7 +53,12 @@ class PatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        from prcv2025reid_tpu.data.augment import normalize_images_device
+
         P = self.patch_size
+        # uint8 batches normalize on device (host pipeline ships raw pixels);
+        # float inputs pass through (already normalized).
+        images = normalize_images_device(images)
         if self.in_chans == 1 and images.shape[-1] == 3:
             images = images.mean(axis=-1, keepdims=True)
         kernel = self.param(

@@ -177,7 +177,8 @@ class TestTokenizer:
 
     def test_build_tokenizer_fallback(self):
         tok = build_tokenizer(None, 100, 16)
-        assert isinstance(tok, HashTokenizer)
+        inner = getattr(tok, "inner", tok)
+        assert isinstance(inner, HashTokenizer)
 
     def test_clip_bpe_matches_hf_on_ascii(self, tmp_path):
         """When vocab files exist, our BPE must agree with HF CLIPTokenizer."""
