@@ -294,9 +294,32 @@ class Trainer:
             )
         return result
 
+    def smoke_test(self):
+        """One real batch through the model before the epoch loop; abort on
+        failure (reference: train.py:1460-1474)."""
+        batch = next(iter(self.pipeline))
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        out = self.model.apply(
+            variables,
+            jnp.asarray(batch["images"]),
+            jnp.asarray(batch["image_mask"]),
+            jnp.asarray(batch["text_tokens"]),
+            jnp.asarray(batch["text_mask"]),
+            train=False,
+        )
+        if not bool(jnp.isfinite(out["logits"]).all()):
+            raise RuntimeError("forward smoke test produced non-finite logits")
+        logger.info(
+            "forward smoke test OK: logits %s, bn_features %s",
+            out["logits"].shape,
+            out["bn_features"].shape,
+        )
+
     def fit(self) -> Dict:
         cfg = self.config
-        self.maybe_resume()
+        resumed = self.maybe_resume()
+        if not resumed:
+            self.smoke_test()
         train_metrics: Optional[Dict] = None
         for epoch in range(self.start_epoch, cfg.num_epochs + 1):
             train_metrics = self.train_epoch(epoch, train_metrics)
