@@ -105,6 +105,36 @@ def embed_samples(
 # ----- vectorized ranking metrics -----
 
 
+def _chunk_stats(
+    q: jnp.ndarray,
+    q_pids: jnp.ndarray,
+    g: jnp.ndarray,
+    g_pids: jnp.ndarray,
+    exclude: Optional[jnp.ndarray],
+    topk_cmc: Sequence[int],
+):
+    """Per-query (ap, has_rel, top1_hit, cmc hits) for one query chunk."""
+    sim = jnp.dot(q, g.T, precision=jax.lax.Precision.HIGHEST)
+    if exclude is not None:
+        sim = jnp.where(exclude, -jnp.inf, sim)
+
+    order = jnp.argsort(-sim, axis=1)  # [Nq, Ng]
+    g_sorted = g_pids[order]
+    matches = (g_sorted == q_pids[:, None]).astype(jnp.float32)
+    if exclude is not None:
+        excl_sorted = jnp.take_along_axis(exclude, order, axis=1)
+        matches = matches * (1.0 - excl_sorted.astype(jnp.float32))
+
+    rel = matches.sum(axis=1)
+    ranks = jnp.arange(1, matches.shape[1] + 1, dtype=jnp.float32)[None, :]
+    precision = jnp.cumsum(matches, axis=1) / ranks
+    ap = (precision * matches).sum(axis=1) / jnp.maximum(rel, 1.0)
+    has_rel = (rel > 0).astype(jnp.float32)
+    hits = jnp.cumsum(matches, axis=1) > 0
+    cmc_hits = [hits[:, min(k, matches.shape[1]) - 1].astype(jnp.float32) for k in topk_cmc]
+    return ap, has_rel, matches[:, 0], cmc_hits
+
+
 def compute_retrieval_metrics(
     q_feats: np.ndarray,
     q_pids: np.ndarray,
@@ -112,38 +142,46 @@ def compute_retrieval_metrics(
     g_pids: np.ndarray,
     exclude: Optional[np.ndarray] = None,  # [Nq, Ng] bool, True = drop pair
     topk_cmc: Sequence[int] = (1, 5, 10),
+    query_chunk: int = 1024,
 ) -> Dict[str, float]:
-    """mAP / top-1 / CMC over a full similarity matrix, all on device."""
+    """mAP / top-1 / CMC, computed on device in query chunks.
+
+    Chunking bounds device memory at O(query_chunk x Ng) — the competition
+    gallery is ~45k images (BASELINE.md), so a full [Nq, Ng] fp32 similarity
+    matrix does not fit; the reference loops queries one by one in Python
+    (train.py:450-479), this vectorizes per chunk instead.
+    """
     q = jnp.asarray(q_feats, jnp.float32)
     g = jnp.asarray(g_feats, jnp.float32)
-    sim = jnp.dot(q, g.T, precision=jax.lax.Precision.HIGHEST)
-    if exclude is not None:
-        sim = jnp.where(jnp.asarray(exclude), -jnp.inf, sim)
+    g_p = jnp.asarray(g_pids)
+    Nq = q.shape[0]
 
-    order = jnp.argsort(-sim, axis=1)  # [Nq, Ng]
-    g_sorted = jnp.asarray(g_pids)[order]
-    matches = (g_sorted == jnp.asarray(q_pids)[:, None]).astype(jnp.float32)
-    if exclude is not None:
-        # excluded pairs land at the tail with -inf; drop them from matches
-        excl_sorted = jnp.take_along_axis(jnp.asarray(exclude), order, axis=1)
-        matches = matches * (1.0 - excl_sorted.astype(jnp.float32))
+    ap_l, hr_l, t1_l = [], [], []
+    cmc_l = {k: [] for k in topk_cmc}
+    for start in range(0, Nq, query_chunk):
+        sl = slice(start, min(start + query_chunk, Nq))
+        ex = jnp.asarray(exclude[sl]) if exclude is not None else None
+        ap, hr, t1, cmc_hits = _chunk_stats(
+            q[sl], jnp.asarray(q_pids[sl]), g, g_p, ex, topk_cmc
+        )
+        ap_l.append(np.asarray(ap))
+        hr_l.append(np.asarray(hr))
+        t1_l.append(np.asarray(t1))
+        for k, h in zip(topk_cmc, cmc_hits):
+            cmc_l[k].append(np.asarray(h))
 
-    rel = matches.sum(axis=1)  # [Nq]
-    ranks = jnp.arange(1, matches.shape[1] + 1, dtype=jnp.float32)[None, :]
-    precision = jnp.cumsum(matches, axis=1) / ranks
-    ap = (precision * matches).sum(axis=1) / jnp.maximum(rel, 1.0)
-
-    has_rel = (rel > 0).astype(jnp.float32)
-    n_valid = jnp.maximum(has_rel.sum(), 1.0)
-    mean_ap = (ap * has_rel).sum() / n_valid
-    top1 = matches[:, 0].mean()
-
-    out = {"mAP": float(mean_ap), "top1": float(top1), "num_queries": int(q.shape[0])}
-    hits = jnp.cumsum(matches, axis=1) > 0
+    ap = np.concatenate(ap_l)
+    has_rel = np.concatenate(hr_l)
+    top1 = np.concatenate(t1_l)
+    n_valid = max(has_rel.sum(), 1.0)
+    out = {
+        "mAP": float((ap * has_rel).sum() / n_valid),
+        "top1": float(top1.mean()),
+        "num_queries": int(Nq),
+    }
     for k in topk_cmc:
-        k_eff = min(k, matches.shape[1])
-        cmc_k = (hits[:, k_eff - 1].astype(jnp.float32) * has_rel).sum() / n_valid
-        out[f"cmc{k}"] = float(cmc_k)
+        hits = np.concatenate(cmc_l[k])
+        out[f"cmc{k}"] = float((hits * has_rel).sum() / n_valid)
     return out
 
 
