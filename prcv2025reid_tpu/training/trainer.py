@@ -253,6 +253,10 @@ class Trainer:
 
         avg = {k: v / max(1, n_logged) for k, v in sums.items()}
         elapsed = time.time() - t0
+        # classifier |W| monitor (reference: train.py:1048-1058) — fetched
+        # once per epoch, never in the hot loop
+        cls_kernel = self.state.params["bn_neck"]["classifier"]["kernel"]
+        head_weight_norm = float(np.linalg.norm(np.asarray(cls_kernel)))
         out = {
             "epoch": epoch,
             "steps": n_steps,
@@ -261,6 +265,7 @@ class Trainer:
             "sdm_tau": sdm_tau,
             "stability_score": self.spike_detector.stability_score,
             "pair_coverage_mavg": self.pair_coverage.moving_average,
+            "head_weight_norm": head_weight_norm,
             "skipped_steps": skipped,
             **{k: avg.get(k, 0.0) for k in ("total_loss", "ce_loss", "sdm_loss", "train_top1", "grad_norm")},
         }
