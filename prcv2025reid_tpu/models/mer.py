@@ -5,21 +5,29 @@ per-modality LoRA (rank 4, alpha 1, B zero-init so delta-W = 0 at step 0).
 
 TPU-native redesign (not a translation): the reference holds a ModuleDict of
 per-modality adapters and dispatches on a *string* per forward call
-(models/mer_lora.py:80-99) — dynamic Python control flow.  Here all experts
-are stacked into dense tensors ``lora_A [M, in, r]`` / ``lora_B [M, r, out]``
-and the active expert is selected with a one-hot *mask* on the thin rank
-dimension:
+(models/mer_lora.py:80-99) — dynamic Python control flow.  Here routing is a
+STATIC GROUPING: the batch layout always places one modality per group
+(stacked slots [G, B, ...] — see vit.py), so each linear folds its LoRA into
+per-group effective weights once per call:
 
-    z     = einsum(x, lora_A)          # [..., M, r]   — one matmul, width M*r
-    delta = einsum(z * onehot, lora_B) # [..., out]
+    W_eff[g] = W + (alpha/r) * A[id_g] @ B[id_g]      # ~3 GFLOP total/step
+    y[g]     = x[g] @ W_eff[g]                        # plain batched matmul
 
-Two thin matmuls (M*r = 16 columns), static shapes, no gather/scatter; the
-whole mixed-modality batch goes through the trunk in ONE call with per-sample
-routing.  XLA fuses the masking into the matmuls.
+No masks, no side matmuls, no gathers in the hot path — every projection is a
+clean dense matmul with 128-aligned shapes, and XLA fuses the tiny W_eff
+construction into the weight load.  Routing differentiates through W_eff to
+the shared trunk and the selected expert exactly like the reference's
+``shared(x) + lora(x)`` (models/mer_lora.py:93-99).
+
+Profiling history (v5e, xplane traces — keep for the next optimizer):
+- per-row one-hot mask designs (einsum '...i,mir->...mr', and concat-784
+  fused kernels) both produced pathological batch-minor layouts and/or
+  ~3.5 ms/step of thin side matmuls;
+- the grouped-W_eff form eliminates the entire LoRA hot-path cost.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -32,8 +40,7 @@ Dtype = jnp.dtype
 
 class _SharedParams(nn.Module):
     """Holds the shared trunk kernel/bias under the 'shared/{kernel,bias}'
-    tree path (converter + freeze-mask compatibility) without computing —
-    MERDense fuses the matmul itself."""
+    tree path (converter + freeze-mask compatibility) without computing."""
 
     features: int
     use_bias: bool = True
@@ -55,81 +62,9 @@ class _SharedParams(nn.Module):
         return kernel, bias
 
 
-class MERDense(nn.Module):
-    """Shared Dense + stacked per-modality LoRA (reference: models/mer_lora.py:52-106).
-
-    MXU-friendly layout: the stacked lora_A [M, in, r] is reshaped to
-    [in, M*r] so all experts' down-projections ride ONE thin matmul; expert
-    selection is a mask over the M*r=16 rank columns (a one-hot repeated r
-    times); the up-projection is one [., M*r] @ [M*r, out] matmul that XLA
-    fuses into the residual add.  The shared trunk matmul stays a clean
-    [., in] @ [in, out] with 128-aligned output columns.
-
-    Profiling note (v5e, xplane trace): concatenating A onto the shared
-    kernel (one 768->784 matmul) looks tighter but forces a batch-minor
-    output layout for the downstream split — every trunk projection dropped
-    to ~20 TFLOP/s.  Keeping the shared matmul 768-wide restores ~170 TFLOP/s;
-    the separate 16-column LoRA matmuls are noise.  Likewise the naive
-    einsum '...i,mir->...mr' form materializes [B, S, M, r] with pathological
-    layouts.  Don't "re-fuse" this without re-profiling.
-    """
-
-    features: int
-    num_experts: int
-    rank: int = 4
-    alpha: float = 1.0
-    use_bias: bool = True
-    dtype: Optional[Dtype] = None
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, expert_onehot: jnp.ndarray) -> jnp.ndarray:
-        """x: [B, ..., in_dim]; expert_onehot: [B, num_experts] (rows may be
-        any convex weights, typically one-hot)."""
-        in_dim = x.shape[-1]
-        kernel, bias = _SharedParams(
-            self.features, self.use_bias, self.param_dtype, name="shared"
-        )(in_dim)
-        # A: kaiming-uniform like the reference (models/mer_lora.py:37);
-        # B: zeros so the adapter is a no-op at init (models/mer_lora.py:38).
-        lora_a = self.param(
-            "lora_A",
-            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
-            (self.num_experts, in_dim, self.rank),
-            self.param_dtype,
-        )
-        lora_b = self.param(
-            "lora_B",
-            nn.initializers.zeros,
-            (self.num_experts, self.rank, self.features),
-            self.param_dtype,
-        )
-        dt = self.dtype or x.dtype
-        xa = x.astype(dt)
-        mr = self.num_experts * self.rank
-
-        y = xa @ kernel.astype(dt)  # clean, 128-aligned trunk matmul
-
-        a2 = lora_a.transpose(1, 0, 2).reshape(in_dim, mr).astype(dt)
-        z = xa @ a2  # [..., M*r] — 16 columns, negligible
-
-        # expert mask expanded over the rank columns, expert axis pinned
-        mask = jnp.repeat(expert_onehot, self.rank, axis=-1)  # [B, M*r]
-        mask = mask.reshape(mask.shape[:1] + (1,) * (x.ndim - 2) + (mr,))
-        z = z * mask.astype(dt)
-
-        b2 = lora_b.reshape(mr, self.features).astype(dt)
-        y = y + (z @ b2) * (self.alpha / self.rank)
-        if bias is not None:
-            y = y + bias.astype(dt)
-        return y
-
-
 class _MERProjParams(nn.Module):
-    """Declares one MER projection's parameters (shared/kernel, shared/bias,
-    lora_A, lora_B) WITHOUT computing — used by MERAttention to pack Q/K/V
-    into one matmul while keeping the exact MERDense param-tree paths the
-    converter and freeze masks rely on."""
+    """One MER projection's parameters (shared/kernel, shared/bias, lora_A,
+    lora_B) declared without computing — callers build effective weights."""
 
     features: int
     num_experts: int
@@ -156,15 +91,71 @@ class _MERProjParams(nn.Module):
         return kernel, bias, lora_a, lora_b
 
 
+def effective_weights(
+    kernel: jnp.ndarray,  # [in, out]
+    lora_a: jnp.ndarray,  # [M, in, r]
+    lora_b: jnp.ndarray,  # [M, r, out]
+    expert_ids: Tuple[int, ...],
+    scale: float,
+    dtype,
+) -> jnp.ndarray:
+    """[G, in, out] effective kernels for the (static) group expert ids."""
+    a = jnp.stack([lora_a[i] for i in expert_ids]).astype(dtype)  # [G, in, r]
+    b = jnp.stack([lora_b[i] for i in expert_ids]).astype(dtype)  # [G, r, out]
+    delta = jnp.einsum("gir,gro->gio", a, b) * scale
+    return kernel.astype(dtype)[None] + delta
+
+
+class MERDense(nn.Module):
+    """Grouped MER linear: x [G, ..., in] + static expert ids -> [G, ..., out].
+
+    Reference: models/mer_lora.py:52-106 (MERLinear).
+    """
+
+    features: int
+    num_experts: int
+    rank: int = 4
+    alpha: float = 1.0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, expert_ids: Tuple[int, ...]) -> jnp.ndarray:
+        assert len(expert_ids) == x.shape[0], "one expert id per group"
+        in_dim = x.shape[-1]
+        kernel, bias = _SharedParams(
+            self.features, self.use_bias, self.param_dtype, name="shared"
+        )(in_dim)
+        lora_a = self.param(
+            "lora_A",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (self.num_experts, in_dim, self.rank),
+            self.param_dtype,
+        )
+        lora_b = self.param(
+            "lora_B",
+            nn.initializers.zeros,
+            (self.num_experts, self.rank, self.features),
+            self.param_dtype,
+        )
+        dt = self.dtype or x.dtype
+        w_eff = effective_weights(
+            kernel, lora_a, lora_b, tuple(expert_ids), self.alpha / self.rank, dt
+        )
+        y = jnp.einsum("g...i,gio->g...o", x.astype(dt), w_eff)
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
 class MERAttention(nn.Module):
     """MHA with MER-routed Q/K/V/out projections (reference: models/mer_lora.py:109-231).
 
-    TPU layout: the three Q/K/V projections pack into ONE [., D] @ [D, 3D]
-    matmul (3D = 2304 = 18*128, clean tiling; slice points are 128-aligned so
-    XLA keeps feature-minor layouts) plus one packed [., D] @ [D, 3*M*r] LoRA
-    down-projection.  The attention core is pluggable (Pallas fused kernel on
-    TPU / XLA einsum elsewhere) — the TPU counterpart of the reference's
-    SDPA/flash call.
+    Q/K/V effective kernels concatenate into one [G, D, 3D] so the projection
+    is a single grouped matmul (3D = 2304 = 18*128, clean tiling).  The
+    attention core is pluggable (Pallas fused kernel on TPU / XLA einsum
+    elsewhere) — the TPU counterpart of the reference's SDPA/flash call.
     """
 
     num_heads: int
@@ -176,58 +167,44 @@ class MERAttention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, expert_onehot: jnp.ndarray) -> jnp.ndarray:
-        B, S, D = x.shape
+    def __call__(self, x: jnp.ndarray, expert_ids: Tuple[int, ...]) -> jnp.ndarray:
+        G, B, S, D = x.shape
         assert D % self.num_heads == 0
         head_dim = D // self.num_heads
-        mr = self.num_experts * self.rank
         dt = self.dtype or x.dtype
+        scale = self.alpha / self.rank
+        ids = tuple(expert_ids)
 
-        projs = []
+        w_parts, b_parts = [], []
         for name in ("q_proj", "k_proj", "v_proj"):
-            projs.append(
-                _MERProjParams(
-                    D, self.num_experts, self.rank, self.param_dtype, name=name
-                )(D)
-            )
-
-        w_pack = jnp.concatenate([p[0] for p in projs], axis=1).astype(dt)  # [D, 3D]
-        b_pack = jnp.concatenate([p[1] for p in projs], axis=0).astype(dt)  # [3D]
-        a_pack = jnp.concatenate(
-            [p[2].transpose(1, 0, 2).reshape(D, mr) for p in projs], axis=1
-        ).astype(dt)  # [D, 3*M*r]
+            kernel, bias, la, lb = _MERProjParams(
+                D, self.num_experts, self.rank, self.param_dtype, name=name
+            )(D)
+            w_parts.append(effective_weights(kernel, la, lb, ids, scale, dt))
+            b_parts.append(bias.astype(dt))
+        w_qkv = jnp.concatenate(w_parts, axis=2)  # [G, D, 3D]
+        b_qkv = jnp.concatenate(b_parts, axis=0)  # [3D]
 
         xa = x.astype(dt)
-        qkv = xa @ w_pack + b_pack  # one clean matmul
-        z = xa @ a_pack  # [B, S, 3*M*r]
+        qkv = jnp.einsum("gbsi,gio->gbso", xa, w_qkv) + b_qkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        mask = jnp.repeat(expert_onehot, self.rank, axis=-1)  # [B, M*r]
-        mask3 = jnp.tile(mask, (1, 3)).reshape(B, 1, 3 * mr).astype(dt)
-        z = z * mask3
-
-        scale = self.alpha / self.rank
-        outs = []
-        for i, p in enumerate(projs):
-            b2 = p[3].reshape(mr, D).astype(dt)
-            delta = z[..., i * mr : (i + 1) * mr] @ b2
-            outs.append(qkv[..., i * D : (i + 1) * D] + delta * scale)
-        q, k, v = outs
-
-        def split(t):
-            return t.reshape(B, S, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        def split_heads(t):
+            return t.reshape(G * B, S, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         out = dot_product_attention(
-            split(q), split(k), split(v), impl=self.attn_impl
+            split_heads(q), split_heads(k), split_heads(v), impl=self.attn_impl
         )
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
-        mer = dict(
+        out = out.transpose(0, 2, 1, 3).reshape(G, B, S, D)
+        return MERDense(
+            D,
             num_experts=self.num_experts,
             rank=self.rank,
             alpha=self.alpha,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )
-        return MERDense(D, name="out_proj", **mer)(out, expert_onehot)
+            name="out_proj",
+        )(out, ids)
 
 
 class MERMlp(nn.Module):
@@ -245,7 +222,7 @@ class MERMlp(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, expert_onehot: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, expert_ids: Tuple[int, ...]) -> jnp.ndarray:
         D = x.shape[-1]
         mer = dict(
             num_experts=self.num_experts,
@@ -254,19 +231,22 @@ class MERMlp(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
-        h = MERDense(self.mlp_dim, name="fc1", **mer)(x, expert_onehot)
+        h = MERDense(self.mlp_dim, name="fc1", **mer)(x, expert_ids)
         h = jax.nn.gelu(h, approximate=False)
-        return MERDense(D, name="fc2", **mer)(h, expert_onehot)
+        return MERDense(D, name="fc2", **mer)(h, expert_ids)
 
 
 def drop_path(
     x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
 ) -> jnp.ndarray:
-    """Stochastic depth on the residual branch (reference: models/clip_backbone.py:126-142)."""
+    """Stochastic depth on the residual branch (reference: models/clip_backbone.py:126-142).
+
+    Per-sample over the [G, B] leading dims.
+    """
     if deterministic or rate <= 0.0:
         return x
     keep = 1.0 - rate
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    shape = x.shape[:2] + (1,) * (x.ndim - 2)
     mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
     return x * mask / keep
 
@@ -275,6 +255,7 @@ class MERBlock(nn.Module):
     """Pre-LN transformer block with MER routing + DropPath.
 
     Reference: models/clip_backbone.py:15-123 (MERTransformerBlock).
+    Operates on grouped activations [G, B, S, D] with static per-group ids.
     """
 
     num_heads: int
@@ -291,7 +272,7 @@ class MERBlock(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        expert_onehot: jnp.ndarray,
+        expert_ids: Tuple[int, ...],
         deterministic: bool = True,
     ) -> jnp.ndarray:
         ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
@@ -304,7 +285,7 @@ class MERBlock(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             name="attn",
-        )(nn.LayerNorm(name="ln1", **ln)(x), expert_onehot)
+        )(nn.LayerNorm(name="ln1", **ln)(x), expert_ids)
         rng1 = (
             self.make_rng("droppath")
             if (not deterministic and self.drop_path_rate > 0)
@@ -320,7 +301,7 @@ class MERBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="mlp",
-        )(nn.LayerNorm(name="ln2", **ln)(x), expert_onehot)
+        )(nn.LayerNorm(name="ln2", **ln)(x), expert_ids)
         rng2 = (
             self.make_rng("droppath")
             if (not deterministic and self.drop_path_rate > 0)

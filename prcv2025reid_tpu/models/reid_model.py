@@ -328,20 +328,15 @@ class MultiModalReIDModel(nn.Module):
         active_vis = [(mi, mod) for mi, mod in enumerate(vis_mods) if mod in active]
         if active_vis:
             vit = self.encoder.vision
-            token_list = [
-                vit.patch_embeds[mod](images[:, mi]) for mi, mod in active_vis
-            ]
-            tokens = jnp.concatenate(token_list, axis=0)  # [n_act*B, P, D]
-            onehot = jnp.concatenate(
-                [
-                    jnp.zeros((B, Mv), tokens.dtype).at[:, mi].set(1.0)
-                    for mi, _ in active_vis
-                ],
+            tokens = jnp.stack(
+                [vit.patch_embeds[mod](images[:, mi]) for mi, mod in active_vis],
                 axis=0,
-            )
-            all_feats = vit.trunk(tokens, onehot, deterministic=True)  # [n_act*B, D]
+            )  # [n_act, B, P, D]
+            all_feats = vit.trunk(
+                tokens, tuple(mi for mi, _ in active_vis), deterministic=True
+            )  # [n_act, B, D]
             for j, (mi, _) in enumerate(active_vis):
-                f = all_feats[j * B : (j + 1) * B]
+                f = all_feats[j]
                 m = image_mask[:, mi].astype(jnp.float32)
                 blended = (
                     m[:, None].astype(dt) * f + (1 - m[:, None]).astype(dt) * null[mi]

@@ -153,22 +153,26 @@ class MERVisionTransformer(nn.Module):
 
     def trunk(
         self,
-        patch_tokens: jnp.ndarray,  # [N, num_patches, D]
-        expert_onehot: jnp.ndarray,  # [N, Mv]
+        patch_tokens: jnp.ndarray,  # [G, B, num_patches, D]
+        expert_ids: Tuple[int, ...],  # static, one modality id per group
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        """Shared trunk: CLS + pos + blocks + LN -> [N, fusion_dim]."""
-        N = patch_tokens.shape[0]
+        """Shared trunk: CLS + pos + blocks + LN -> [G, B, fusion_dim].
+
+        The group dim carries the static modality routing (one modality per
+        group — see models/mer.py for why this layout is the fast path).
+        """
+        G, B = patch_tokens.shape[:2]
         dt = self.dtype or patch_tokens.dtype
         cls = jnp.broadcast_to(
-            self.cls_token.astype(dt), (N, 1, self.embed_dim)
+            self.cls_token.astype(dt), (G, B, 1, self.embed_dim)
         )
-        x = jnp.concatenate([cls, patch_tokens.astype(dt)], axis=1)
-        x = x + self.pos_embed.astype(dt)[None]
+        x = jnp.concatenate([cls, patch_tokens.astype(dt)], axis=2)
+        x = x + self.pos_embed.astype(dt)[None, None]
         for block in self.blocks:
-            x = block(x, expert_onehot, deterministic=deterministic)
+            x = block(x, expert_ids, deterministic=deterministic)
         x = self.ln_final(x)
-        return self.proj(x[:, 0])
+        return self.proj(x[:, :, 0])
 
     def encode_single(
         self, images: jnp.ndarray, modality_id: int, deterministic: bool = True
@@ -178,30 +182,26 @@ class MERVisionTransformer(nn.Module):
         modality_id is a static Python int (slot in VISION_MODALITIES).
         """
         mod = self.modalities[modality_id]
-        tokens = self.patch_embeds[mod](images)
-        onehot = jnp.zeros((images.shape[0], len(self.modalities)), tokens.dtype)
-        onehot = onehot.at[:, modality_id].set(1.0)
-        return self.trunk(tokens, onehot, deterministic=deterministic)
+        tokens = self.patch_embeds[mod](images)[None]  # [1, B, P, D]
+        return self.trunk(tokens, (modality_id,), deterministic=deterministic)[0]
 
     def encode_stacked(
         self, images: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         """Encode all modalities at once: [B, Mv, H, W, 3] -> [B, Mv, fusion_dim].
 
-        One trunk call over the flattened [B*Mv] batch — the TPU replacement
+        One trunk call over the grouped [Mv, B] batch — the TPU replacement
         for the reference's 4 sequential per-modality forwards
         (models/model.py:355-399).
         """
         B, Mv = images.shape[:2]
         assert Mv == len(self.modalities)
-        token_list = [
-            self.patch_embeds[mod](images[:, i]) for i, mod in enumerate(self.modalities)
-        ]
-        tokens = jnp.stack(token_list, axis=1)  # [B, Mv, P, D]
-        flat = tokens.reshape((B * Mv,) + tokens.shape[2:])
-        onehot = jnp.tile(jnp.eye(Mv, dtype=flat.dtype), (B, 1))  # [B*Mv, Mv]
-        feats = self.trunk(flat, onehot, deterministic=deterministic)
-        return feats.reshape(B, Mv, -1)
+        tokens = jnp.stack(
+            [self.patch_embeds[mod](images[:, i]) for i, mod in enumerate(self.modalities)],
+            axis=0,
+        )  # [Mv, B, P, D]
+        feats = self.trunk(tokens, tuple(range(Mv)), deterministic=deterministic)
+        return feats.transpose(1, 0, 2)  # [B, Mv, fusion]
 
     def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         return self.encode_stacked(images, deterministic=deterministic)

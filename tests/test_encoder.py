@@ -184,15 +184,14 @@ class TestMERRouting:
         (both 3-channel, but different patch embeds) via the trunk directly."""
         enc, params = encoder_and_params
         rng = np.random.default_rng(4)
-        tokens = jnp.asarray(rng.normal(size=(2, 4, D_V)), jnp.float32)
+        tokens = jnp.asarray(rng.normal(size=(1, 2, 4, D_V)), jnp.float32)
 
         def run(mod_id):
-            onehot = jnp.zeros((2, 4)).at[:, mod_id].set(1.0)
             return enc.apply(
                 params,
                 tokens,
-                onehot,
-                method=lambda m, t, o: m.vision.trunk(t, o),
+                (mod_id,),
+                method=lambda m, t, ids: m.vision.trunk(t, ids),
             )
 
         outs = [np.asarray(run(i)) for i in range(4)]
@@ -208,17 +207,43 @@ class TestMERRouting:
         perturbed["params"]["vision"]["block_0"]["attn"]["q_proj"]["lora_B"] = jnp.asarray(lb)
 
         rng = np.random.default_rng(5)
-        tokens = jnp.asarray(rng.normal(size=(2, 4, D_V)), jnp.float32)
+        tokens = jnp.asarray(rng.normal(size=(1, 2, 4, D_V)), jnp.float32)
 
         def run(p, mod_id):
-            onehot = jnp.zeros((2, 4)).at[:, mod_id].set(1.0)
             return np.asarray(
-                enc.apply(p, tokens, onehot, method=lambda m, t, o: m.vision.trunk(t, o))
+                enc.apply(
+                    p,
+                    tokens,
+                    (mod_id,),
+                    method=lambda m, t, ids: m.vision.trunk(t, ids),
+                )
             )
 
         # modality 2 changes, modality 0 does not
         np.testing.assert_allclose(run(params, 0), run(perturbed, 0), rtol=1e-6)
         assert np.abs(run(params, 2) - run(perturbed, 2)).max() > 1e-4
+
+    def test_mixed_group_routing(self, encoder_and_params):
+        """A [G=2] grouped call must equal two single-group calls."""
+        enc, params = encoder_and_params
+        rng = np.random.default_rng(7)
+        tokens = jnp.asarray(rng.normal(size=(2, 3, 4, D_V)), jnp.float32)
+
+        both = np.asarray(
+            enc.apply(
+                params, tokens, (1, 3), method=lambda m, t, ids: m.vision.trunk(t, ids)
+            )
+        )
+        for g, mid in enumerate((1, 3)):
+            single = np.asarray(
+                enc.apply(
+                    params,
+                    tokens[g : g + 1],
+                    (mid,),
+                    method=lambda m, t, ids: m.vision.trunk(t, ids),
+                )
+            )
+            np.testing.assert_allclose(both[g : g + 1], single, rtol=2e-5, atol=1e-5)
 
 
 class TestStackedEncoding:
