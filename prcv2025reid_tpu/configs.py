@@ -154,6 +154,7 @@ class TrainingConfig:
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
     mesh_axis_names: Tuple[str, ...] = ("data",)
     use_pallas_attention: bool = True  # Pallas fused attention on TPU; XLA fallback elsewhere
+    use_fused_mlp: bool = True  # Pallas fused fc1-gelu-fc2 kernel on TPU
     rank_topk: int = 100  # submission export depth (tools/eval_mm_protocol.py:629-643)
 
     # populated at runtime

@@ -42,6 +42,7 @@ class UnifiedEncoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    mlp_impl: str = "auto"
 
     @classmethod
     def from_config(cls, config: TrainingConfig, dtype=None) -> "UnifiedEncoder":
@@ -65,6 +66,7 @@ class UnifiedEncoder(nn.Module):
             modalities=config.vision_modalities,
             dtype=dtype if dtype is not None else jnp.dtype(config.compute_dtype),
             attn_impl="auto" if config.use_pallas_attention else "xla",
+            mlp_impl="auto" if config.use_fused_mlp else "xla",
         )
 
     def setup(self):
@@ -83,6 +85,7 @@ class UnifiedEncoder(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
         )
         self.text = TextTower(
             vocab_size=self.text_vocab,

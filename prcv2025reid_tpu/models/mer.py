@@ -212,6 +212,10 @@ class MERMlp(nn.Module):
 
     The reference uses torch's exact (erf) GELU, not CLIP's quick_gelu —
     reproduced here deliberately.
+
+    ``impl='pallas'`` routes through the fused VMEM-resident kernel
+    (ops/fused_mlp.py) with LoRA pre-folded into per-group weights;
+    ``'xla'`` keeps two MERDense matmuls; ``'auto'`` picks pallas on TPU.
     """
 
     mlp_dim: int
@@ -220,10 +224,45 @@ class MERMlp(nn.Module):
     alpha: float = 1.0
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, expert_ids: Tuple[int, ...]) -> jnp.ndarray:
         D = x.shape[-1]
+        impl = self.impl
+        if impl == "auto":
+            from prcv2025reid_tpu.ops.attention import _pallas_available
+
+            impl = "pallas" if _pallas_available() else "xla"
+
+        if impl in ("pallas", "pallas_interpret"):
+            dt = self.dtype or x.dtype
+            scale = self.alpha / self.rank
+            ids = tuple(expert_ids)
+            k1, b1, a1, lb1 = _MERProjParams(
+                self.mlp_dim, self.num_experts, self.rank, self.param_dtype, name="fc1"
+            )(D)
+            k2, b2, a2, lb2 = _MERProjParams(
+                D, self.num_experts, self.rank, self.param_dtype, name="fc2"
+            )(self.mlp_dim)
+            w1 = effective_weights(k1, a1, lb1, ids, scale, dt)  # [G, D, F]
+            w2 = effective_weights(k2, a2, lb2, ids, scale, dt)  # [G, F, D]
+            G, B, S, _ = x.shape
+            from prcv2025reid_tpu.ops.fused_mlp import fused_mlp
+
+            b1g = jnp.broadcast_to(b1.astype(dt)[None], (G, self.mlp_dim))
+            b2g = jnp.broadcast_to(b2.astype(dt)[None], (G, D))
+            out = fused_mlp(
+                x.astype(dt).reshape(G, B * S, D),
+                w1,
+                b1g,
+                w2,
+                b2g,
+                256,
+                impl == "pallas_interpret",
+            )
+            return out.reshape(G, B, S, D)
+
         mer = dict(
             num_experts=self.num_experts,
             rank=self.rank,
@@ -267,6 +306,7 @@ class MERBlock(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -300,6 +340,7 @@ class MERBlock(nn.Module):
             alpha=self.alpha,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            impl=self.mlp_impl,
             name="mlp",
         )(nn.LayerNorm(name="ln2", **ln)(x), expert_ids)
         rng2 = (

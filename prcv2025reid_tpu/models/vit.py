@@ -93,6 +93,7 @@ class MERVisionTransformer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    mlp_impl: str = "auto"
 
     def setup(self):
         num_patches = (self.image_size // self.patch_size) ** 2
@@ -133,6 +134,7 @@ class MERVisionTransformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 attn_impl=self.attn_impl,
+                mlp_impl=self.mlp_impl,
                 name=f"block_{i}",
             )
             for i in range(self.num_layers)
