@@ -153,8 +153,14 @@ class TrainingConfig:
     param_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
     mesh_axis_names: Tuple[str, ...] = ("data",)
-    use_pallas_attention: bool = True  # Pallas fused attention on TPU; XLA fallback elsewhere
-    use_fused_mlp: bool = True  # Pallas fused fc1-gelu-fc2 kernel on TPU
+    # Pallas fused attention: measured SLOWER than the transpose-free XLA
+    # einsum path on v5e at S=197 (docs/performance.md); kernels kept for
+    # future tuning. 'False' selects the XLA path everywhere.
+    use_pallas_attention: bool = False
+    # Pallas fused fc1-gelu-fc2 kernel: measured SLOWER than XLA on v5e (the
+    # erf GELU is VPU-bound and Mosaic serializes it against the MXU); kept
+    # for future scheduling work. docs/performance.md has the numbers.
+    use_fused_mlp: bool = False
     rank_topk: int = 100  # submission export depth (tools/eval_mm_protocol.py:629-643)
 
     # populated at runtime

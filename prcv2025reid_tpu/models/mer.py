@@ -189,13 +189,32 @@ class MERAttention(nn.Module):
         qkv = jnp.einsum("gbsi,gio->gbso", xa, w_qkv) + b_qkv
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def split_heads(t):
-            return t.reshape(G * B, S, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        impl = self.attn_impl
+        if impl == "auto":
+            from prcv2025reid_tpu.ops.attention import _pallas_available
 
-        out = dot_product_attention(
-            split_heads(q), split_heads(k), split_heads(v), impl=self.attn_impl
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(G, B, S, D)
+            impl = "pallas" if _pallas_available() else "xla"
+
+        if impl == "xla":
+            # transpose-free path: stay in [N, S, H, Dh] and let einsum fold
+            # the head split into the matmuls (see xla_attention_bshd)
+            from prcv2025reid_tpu.ops.attention import xla_attention_bshd
+
+            def split4(t):
+                return t.reshape(G * B, S, self.num_heads, head_dim)
+
+            out = xla_attention_bshd(split4(q), split4(k), split4(v))
+            out = out.reshape(G, B, S, D)
+        else:
+            def split_heads(t):
+                return t.reshape(G * B, S, self.num_heads, head_dim).transpose(
+                    0, 2, 1, 3
+                )
+
+            out = dot_product_attention(
+                split_heads(q), split_heads(k), split_heads(v), impl=impl
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(G, B, S, D)
         return MERDense(
             D,
             num_experts=self.num_experts,

@@ -37,8 +37,27 @@ _SQRT_HALF = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7) — Pallas TPU
+    has no erf primitive; exp is available."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592,
+        -0.284496736,
+        1.421413741,
+        -1.453152027,
+        1.061405429,
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    xa = jnp.abs(x)
+    t = 1.0 / (1.0 + p * xa)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-xa * xa)
+    return sign * y
+
+
 def _gelu_exact(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x * _SQRT_HALF))
+    return 0.5 * x * (1.0 + _erf_approx(x * _SQRT_HALF))
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
@@ -50,7 +69,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + b1_ref[0].astype(jnp.float32)
+        + b1_ref[0, 0].astype(jnp.float32)
     )
     h = _gelu_exact(h).astype(x.dtype)
     o = (
@@ -60,7 +79,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + b2_ref[0].astype(jnp.float32)
+        + b2_ref[0, 0].astype(jnp.float32)
     )
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -74,15 +93,24 @@ def _fused_mlp_impl(x, w1, b1, w2, b2, block_rows: int, interpret: bool):
         x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
 
     kw = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
+    # weights: single-buffered (they only change across the G axis; double
+    # buffering them blows the 16 MB VMEM budget at D=768/F=3072)
+    wkw = dict(kw)
+    if _HAS_PLTPU and not interpret:
+        wkw["pipeline_mode"] = pl.Buffered(buffer_count=1)
+    # biases carry a singleton row so the (sublane, lane) block dims satisfy
+    # TPU tiling (block == full array dims on the last two axes)
+    b1r = b1.reshape(G, 1, F)
+    b2r = b2.reshape(G, 1, D)
     out = pl.pallas_call(
         _mlp_kernel,
         grid=(G, Np // R),
         in_specs=[
             pl.BlockSpec((1, R, D), lambda g, r: (g, r, 0), **kw),
-            pl.BlockSpec((1, D, F), lambda g, r: (g, 0, 0), **kw),
-            pl.BlockSpec((1, F), lambda g, r: (g, 0), **kw),
-            pl.BlockSpec((1, F, D), lambda g, r: (g, 0, 0), **kw),
-            pl.BlockSpec((1, D), lambda g, r: (g, 0), **kw),
+            pl.BlockSpec((1, D, F), lambda g, r: (g, 0, 0), **wkw),
+            pl.BlockSpec((1, 1, F), lambda g, r: (g, 0, 0), **kw),
+            pl.BlockSpec((1, F, D), lambda g, r: (g, 0, 0), **wkw),
+            pl.BlockSpec((1, 1, D), lambda g, r: (g, 0, 0), **kw),
         ],
         out_specs=pl.BlockSpec((1, R, D), lambda g, r: (g, r, 0), **kw),
         out_shape=jax.ShapeDtypeStruct((G, Np, D), x.dtype),
@@ -94,7 +122,7 @@ def _fused_mlp_impl(x, w1, b1, w2, b2, block_rows: int, interpret: bool):
             transcendentals=G * Np * F,
         ),
         interpret=interpret,
-    )(x, w1, b1, w2, b2)
+    )(x, w1, b1r, w2, b2r)
     return out[:, :N, :]
 
 

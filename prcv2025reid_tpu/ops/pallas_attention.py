@@ -40,9 +40,11 @@ _ALIGN = 128
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, s_actual: int):
-    q = q_ref[0].astype(jnp.float32)  # [Sp, Dh]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # inputs stay in their native (bf16) dtype — f32 MXU passes are ~6x
+    # slower on v5e; accumulation is f32 via preferred_element_type.
+    q = q_ref[0]  # [Sp, Dh]
+    k = k_ref[0]
+    v = v_ref[0]
 
     logits = (
         jax.lax.dot_general(
@@ -52,7 +54,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, s_ac
             preferred_element_type=jnp.float32,
         )
         * scale
-    )  # [Sp, Sp]
+    )  # [Sp, Sp] f32
 
     Sp = logits.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (Sp, Sp), 1)
@@ -66,7 +68,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, s_ac
     p = jnp.exp(logits)
     p = p / jnp.sum(p, axis=1, keepdims=True)
 
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -109,10 +116,11 @@ def _attn_kernel_batched_heads(
     q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, s_actual: int
 ):
     """v2 kernel: one program per BATCH item, all H heads batched in one
-    dot_general — bigger MXU tiles, H x fewer programs."""
-    q = q_ref[0].astype(jnp.float32)  # [H, Sp, Dh]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    dot_general — bigger MXU tiles, H x fewer programs.  Native-dtype MXU
+    passes, f32 accumulation + softmax."""
+    q = q_ref[0]  # [H, Sp, Dh]
+    k = k_ref[0]
+    v = v_ref[0]
 
     logits = (
         jax.lax.dot_general(
@@ -122,7 +130,7 @@ def _attn_kernel_batched_heads(
             preferred_element_type=jnp.float32,
         )
         * scale
-    )  # [H, Sp, Sp]
+    )  # [H, Sp, Sp] f32
 
     H, Sp, _ = logits.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (H, Sp, Sp), 2)
@@ -137,7 +145,7 @@ def _attn_kernel_batched_heads(
     p = p / jnp.sum(p, axis=2, keepdims=True)
 
     out = jax.lax.dot_general(
-        p,
+        p.astype(v.dtype),
         v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
