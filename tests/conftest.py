@@ -38,6 +38,9 @@ def make_synthetic_orbench(root, num_ids=6, anchors_per_id=2, img_size=48):
     (reference: datasets/dataset.py:341-447): JSON lists only vis paths +
     captions; nir is an identity-level pool; sk/cp filenames carry
     front/back/side view tags.
+
+    Images carry an identity-dependent base pattern + per-image noise so
+    that retrieval is LEARNABLE (the convergence test depends on this).
     """
     import json as _json
     import os
@@ -51,8 +54,12 @@ def make_synthetic_orbench(root, num_ids=6, anchors_per_id=2, img_size=48):
         for mod in ("vis", "nir", "sk", "cp"):
             os.makedirs(os.path.join(root, mod, pid_str), exist_ok=True)
 
+        id_rng = np.random.default_rng(10_000 + pid)
+        base = id_rng.integers(30, 225, (img_size, img_size, 3)).astype(np.int16)
+
         def _write(relpath):
-            arr = g.integers(0, 255, (img_size, img_size, 3), dtype=np.uint8)
+            noise = g.integers(-25, 25, (img_size, img_size, 3))
+            arr = np.clip(base + noise, 0, 255).astype(np.uint8)
             Image.fromarray(arr).save(os.path.join(root, relpath))
 
         for a in range(anchors_per_id):
