@@ -19,6 +19,9 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     config = apply_cli_overrides(TrainingConfig(), argv)
 
+    import os
+
+    os.makedirs(config.log_dir, exist_ok=True)
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
