@@ -125,6 +125,12 @@ class HostPipeline:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
 
+    def refresh_workers(self):
+        """Re-pickle the dataset into fresh workers.  Call after mutating
+        dataset state (e.g. the epoch-5 augmentation relaxation,
+        train.py:1630-1644) — existing workers hold the old pickled copy."""
+        self.close()
+
     def __del__(self):
         try:
             self.close()

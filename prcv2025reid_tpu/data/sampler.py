@@ -54,7 +54,13 @@ class PKBatchSampler:
         self.strong_ids = sorted(
             pid for pid, d in self.pid_buckets.items() if d["vis"] and d["nonvis"]
         )
-        self.soft_ids = sorted(set(self.pid_buckets) - set(self.strong_ids))
+        # soft ids must still have at least one usable record — a pid whose
+        # record has no modalities at all can never fill a batch slot
+        self.soft_ids = sorted(
+            pid
+            for pid, d in self.pid_buckets.items()
+            if pid not in set(self.strong_ids) and (d["vis"] or d["nonvis"])
+        )
 
         total_pairs = sum(
             min(len(self.pid_buckets[p]["vis"]), len(self.pid_buckets[p]["nonvis"]))
@@ -108,7 +114,26 @@ class PKBatchSampler:
         return self.steps_per_epoch
 
     def __iter__(self) -> Iterator[List[int]]:
+        import logging
+
+        yielded = 0
+        dropped = 0
         for _ in range(self.steps_per_epoch):
             batch = self.sample_batch()
             if len(batch) == self.P * self.K:
+                yielded += 1
                 yield batch
+            else:
+                dropped += 1
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "sampler dropped %d/%d short batches (degenerate ids in pool)",
+                dropped,
+                self.steps_per_epoch,
+            )
+        if yielded == 0:
+            raise RuntimeError(
+                "sampler produced no complete batches — every candidate id is "
+                f"degenerate (strong={len(self.strong_ids)}, soft={len(self.soft_ids)}, "
+                f"P={self.P}, K={self.K})"
+            )

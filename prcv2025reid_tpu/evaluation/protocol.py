@@ -359,9 +359,19 @@ def export_submission_csv(
             _fn(mods), variables, dataset, q_indices, tokenizer, batch_size,
             modalities=mods, seed=seed,
         )
-        sims = q_feats @ g_feats.T
-        # stable tie-break: argsort on (-sim, index) via kind='stable'
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :top_k]
+        # ranking on device: lax.top_k per query chunk (descending, lower
+        # index wins ties) — no full host argsort of the [Nq, Ng] matrix
+        k_eff = min(top_k, g_feats.shape[0])
+        order_chunks = []
+        for start in range(0, len(q_feats), 1024):
+            sims_c = jnp.dot(
+                jnp.asarray(q_feats[start : start + 1024]),
+                jnp.asarray(g_feats).T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            _, idx = jax.lax.top_k(sims_c, k_eff)
+            order_chunks.append(np.asarray(idx))
+        order = np.concatenate(order_chunks)
         for qi, record_idx in enumerate(q_indices):
             rec = dataset.records[record_idx]
             stem = os.path.splitext(os.path.basename(rec.anchor_vis))[0]

@@ -370,10 +370,15 @@ def compute_loss(
     entirely (the warmup gate at models/model.py:552 is applied by the caller
     through the scheduler).  SDM consumes *raw* (pre-SDM-module) modality
     features, matching models/model.py:557,586.
+
+    Masks are the POST-modality-dropout ``effective_masks``: the reference
+    removes dropped modalities from ``feature_masks`` before the loss
+    (models/model.py:467-469,506), so both CE validity and the SDM loop see
+    the dropout result.
     """
     from prcv2025reid_tpu.ops.losses import masked_cross_entropy, multimodal_sdm_loss
 
-    masks = outputs["feature_masks"]  # [M, B]
+    masks = outputs.get("effective_masks", outputs["feature_masks"])  # [M, B]
     any_valid = (masks.sum(axis=0) > 0).astype(jnp.float32)  # [B]
     ce_loss, ce_valid_cnt = masked_cross_entropy(
         outputs["logits"], labels, any_valid, label_smoothing

@@ -30,10 +30,17 @@ def create_mesh(
     n_devices: Optional[int] = None,
     batch_size: Optional[int] = None,
 ) -> Mesh:
-    """Data-parallel mesh.  With ``batch_size`` given, the mesh shrinks to the
-    largest device count that divides the batch (a P*K batch is not always a
-    multiple of the chip count)."""
+    """Data-parallel mesh.  ``config.mesh_shape`` (product) caps the device
+    count when set; with ``batch_size`` given, the mesh further shrinks to
+    the largest device count that divides the batch (a P*K batch is not
+    always a multiple of the chip count)."""
     devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is None and config is not None:
+        import math
+
+        requested = math.prod(config.mesh_shape)
+        if requested > 1 or len(config.mesh_shape) > 1:
+            n_devices = requested
     if n_devices is not None:
         devs = devs[:n_devices]
     if batch_size is not None:

@@ -35,6 +35,7 @@ class TrainState(flax.struct.PyTreeNode):
     rng: jax.Array
     grad_norm_hist: jnp.ndarray  # [CLIP_WINDOW] ring buffer
     grad_norm_count: jnp.ndarray  # scalar int32
+    skipped_total: jnp.ndarray  # scalar int32, exact in-graph skip counter
 
     @classmethod
     def create(cls, params, batch_stats, tx: optax.GradientTransformation, rng):
@@ -46,6 +47,7 @@ class TrainState(flax.struct.PyTreeNode):
             rng=rng,
             grad_norm_hist=jnp.zeros((CLIP_WINDOW,), jnp.float32),
             grad_norm_count=jnp.zeros((), jnp.int32),
+            skipped_total=jnp.zeros((), jnp.int32),
         )
 
 
@@ -107,15 +109,25 @@ def make_train_step(
             loss_fn, has_aux=True
         )(state.params)
 
-        # --- non-finite-loss skip (train.py:868-876): zero the update ---
-        ok = jnp.isfinite(total_loss)
+        # --- poisoned-step skip ---
+        # The reference checks only the (already force-zeroed) loss
+        # (train.py:868-876) and then steps with sanitized gradients — AdamW
+        # momentum still drifts on a poisoned batch.  Here the gate also
+        # covers non-finite gradients BEFORE sanitization: a NaN anywhere in
+        # the backward pass skips the whole update.
+        raw_gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(total_loss) & jnp.isfinite(raw_gnorm)
         grads = sanitize_grads(grads)
-        grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
 
-        # --- adaptive clipping (train.py:996-1001) ---
+        # --- adaptive clipping (train.py:996-1001); skipped steps do not
+        # pollute the norm history ---
         gnorm = optax.global_norm(grads)
-        hist = state.grad_norm_hist.at[state.grad_norm_count % CLIP_WINDOW].set(gnorm)
-        count = state.grad_norm_count + 1
+        hist = jnp.where(
+            ok,
+            state.grad_norm_hist.at[state.grad_norm_count % CLIP_WINDOW].set(gnorm),
+            state.grad_norm_hist,
+        )
+        count = state.grad_norm_count + ok.astype(jnp.int32)
         if config.adaptive_gradient_clip:
             p70 = jnp.percentile(hist, 70.0)
             adaptive = jnp.clip(
@@ -132,10 +144,15 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        # skipped steps keep BN stats too
-        new_batch_stats = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old), new_batch_stats, state.batch_stats
-        )
+        # a skipped step must not move ANYTHING: params (AdamW would still
+        # apply momentum + weight decay on zero grads — the reference skips
+        # optimizer.step entirely), optimizer state, and BN statistics.
+        def keep_old(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+        new_params = keep_old(new_params, state.params)
+        new_opt_state = keep_old(new_opt_state, state.opt_state)
+        new_batch_stats = keep_old(new_batch_stats, state.batch_stats)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -144,11 +161,13 @@ def make_train_step(
             opt_state=new_opt_state,
             grad_norm_hist=hist,
             grad_norm_count=count,
+            skipped_total=state.skipped_total + (~ok).astype(jnp.int32),
         )
 
         # --- in-graph metrics (fetched at log frequency only) ---
         labels = batch["labels"]
-        valid = (outputs["feature_masks"].sum(axis=0) > 0) & (labels >= 0)
+        eff = outputs.get("effective_masks", outputs["feature_masks"])
+        valid = (eff.sum(axis=0) > 0) & (labels >= 0)
         preds = jnp.argmax(outputs["logits"], axis=1)
         top1 = ((preds == labels) & valid).sum() / jnp.maximum(valid.sum(), 1)
         feat_norm = jnp.linalg.norm(

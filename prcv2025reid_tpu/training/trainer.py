@@ -198,23 +198,24 @@ class Trainer:
         sdm_weight = self.sdm_scheduler.get_weight(epoch)
         enable_moddrop = epoch > cfg.modality_dropout_warmup_epochs
 
-        # augmentation relaxation (train.py:1630-1644)
+        # augmentation relaxation (train.py:1630-1644); worker processes hold
+        # a pickled dataset copy, so they must be refreshed to see the change
         if epoch == 5 and self.spike_detector.stability_score > 0.8:
             self.train_ds.transform.set_crop_scale_min(0.6)
+            self.pipeline.refresh_workers()
             logger.info("augmentation relaxed: crop scale 0.8 -> 0.6")
 
         sums: Dict[str, float] = {}
         n_steps = 0
         n_logged = 0
-        skipped = 0
+        skipped_before = int(self.state.skipped_total)
         t0 = time.time()
         sharding = batch_sharding(self.mesh)
 
         def _log_metrics(metrics, batch=None):
-            nonlocal n_logged, skipped
+            nonlocal n_logged
             fetched = {k: float(v) for k, v in metrics.items()}
             self.spike_detector.update(fetched["total_loss"])
-            skipped += int(fetched["skipped"])
             if batch is not None:
                 self.pair_coverage.update(
                     np.asarray(batch["pids"]),
@@ -266,7 +267,8 @@ class Trainer:
             "stability_score": self.spike_detector.stability_score,
             "pair_coverage_mavg": self.pair_coverage.moving_average,
             "head_weight_norm": head_weight_norm,
-            "skipped_steps": skipped,
+            # exact: accumulated in-graph, fetched once per epoch
+            "skipped_steps": int(self.state.skipped_total) - skipped_before,
             **{k: avg.get(k, 0.0) for k in ("total_loss", "ce_loss", "sdm_loss", "train_top1", "grad_norm")},
         }
         # SDM anomaly response (train.py:1614-1628)

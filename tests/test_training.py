@@ -193,6 +193,30 @@ class TestTrainStep:
         assert int(s.grad_norm_count) == 1
         assert float(s.grad_norm_hist[0]) > 0
 
+    def test_nan_batch_skips_everything(self, setup):
+        """A non-finite loss must leave params, optimizer state, BN stats and
+        the clip history untouched (reference skips optimizer.step entirely,
+        train.py:868-876; AdamW on zero grads would still drift params)."""
+        config, model, tx, state, step_fn = setup
+        bad = _batch()
+        bad["images"] = bad["images"].at[0, 0, 0, 0, 0].set(jnp.nan)
+        new_state, m = step_fn(state, bad, jnp.float32(0.0), jnp.float32(0.2))
+        assert float(m["skipped"]) == 1.0
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            new_state.params,
+            state.params,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            new_state.batch_stats,
+            state.batch_stats,
+        )
+        assert int(new_state.skipped_total) == int(state.skipped_total) + 1
+        np.testing.assert_array_equal(
+            np.asarray(new_state.grad_norm_hist), np.asarray(state.grad_norm_hist)
+        )
+
     def test_embed_step(self, setup):
         config, model, tx, state, step_fn = setup
         embed = make_embed_step(model)

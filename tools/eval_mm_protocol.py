@@ -46,7 +46,12 @@ def main(argv=None):
     ap.add_argument("--sample_ratio", type=float, default=1.0)
     ap.add_argument("--submission", default=None, help="also export a submission CSV here")
     ap.add_argument("--topk", type=int, default=100)
-    ap.add_argument("--exclude_same_image", action="store_true", default=True)
+    ap.add_argument(
+        "--exclude_same_image",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="--no-exclude_same_image disables the anchor-exclusion protocol",
+    )
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -97,6 +102,9 @@ def main(argv=None):
             embed_fns[mods] = make_combo_embed_step(model, mods)
         return embed_fns[mods]
 
+    # cache key must change with the checkpoint — stale gallery features from
+    # a different model would silently corrupt every metric
+    ckpt_tag = f"{args.cache_tag}_ep{host.get('epoch', 0)}_st{int(state.step)}"
     result = evaluate_protocol(
         None,
         eval_vars,
@@ -105,7 +113,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         include_patterns=None,  # full MM-1..4 protocol
         exclude_same_image=args.exclude_same_image,
-        cache=GalleryCache(args.cache_dir, args.cache_tag),
+        cache=GalleryCache(args.cache_dir, ckpt_tag),
         sample_ratio=args.sample_ratio,
         embed_factory=embed_factory,
     )
