@@ -75,12 +75,17 @@ def embed_samples(
     batch_size: int,
     modalities: Optional[Tuple[str, ...]] = None,
     seed: int = 0,
+    sharding=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Embed records -> (features [N, D], pids [N]).
 
     ``modalities=None`` -> gallery mode (vis only).  The last batch is padded
-    to ``batch_size`` so every shape hits the same jit executable.
+    to ``batch_size`` so every shape hits the same jit executable.  With
+    ``sharding`` (a jax.sharding.Sharding), batches land batch-sharded over
+    the data-parallel mesh and GSPMD splits the embedding across chips.
     """
+    import jax
+
     from prcv2025reid_tpu.data.pipeline import collate
 
     rng = np.random.default_rng(seed)
@@ -94,6 +99,8 @@ def embed_samples(
             chunk.append(chunk[-1])
         samples = [dataset.get_query_sample(i, mods, rng) for i in chunk]
         batch = collate(samples, tokenizer)
+        if sharding is not None:
+            batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         feats = np.asarray(embed_fn(variables, batch))
         feats_out.append(feats[:n_real])
         pids_out.append(batch["pids"][:n_real])
@@ -228,6 +235,7 @@ def evaluate_protocol(
     sample_ratio: float = 1.0,
     seed: int = 0,
     embed_factory: Optional[Callable[[Tuple[str, ...]], Callable]] = None,
+    sharding=None,
 ) -> Dict:
     """Run the MM protocol; returns {map_single, map_quad, map_avg2, detail,
     cmc1/5/10} like validate_competition_style (train.py:503-639).
@@ -244,7 +252,8 @@ def evaluate_protocol(
     g = cache.load(gallery_indices) if cache else None
     if g is None:
         g_feats, g_pids = embed_samples(
-            _fn(("vis",)), variables, dataset, gallery_indices, tokenizer, batch_size
+            _fn(("vis",)), variables, dataset, gallery_indices, tokenizer,
+            batch_size, sharding=sharding,
         )
         if cache:
             cache.save(gallery_indices, g_feats, g_pids)
@@ -275,6 +284,7 @@ def evaluate_protocol(
             batch_size,
             modalities=mods,
             seed=seed,
+            sharding=sharding,
         )
         exclude = None
         if exclude_same_image:

@@ -290,6 +290,12 @@ class Trainer:
             sample_ratio=sample_ratio if sample_ratio is not None else cfg.eval_sample_ratio,
             seed=cfg.seed,
             embed_factory=self.embed_factory,
+            sharding=(
+                batch_sharding(self.mesh)
+                if self.mesh.devices.size > 1
+                and cfg.eval_batch_size % self.mesh.devices.size == 0
+                else None
+            ),
         )
         if epoch is not None:
             logger.info(
