@@ -199,6 +199,40 @@ class TrainingConfig:
         return cls(**kw)
 
 
+# ----- model presets (CLIP families the encoder/converter support) -----
+# The reference hard-codes ViT-B/16 (configs/config.py:19); the encoder here
+# is dimension-generic, so other CLIP families are config presets.
+MODEL_PRESETS = {
+    "clip-vit-base-patch16": dict(
+        clip_model_name="openai/clip-vit-base-patch16",
+        vision_hidden_dim=768, vision_layers=12, vision_heads=12,
+        vision_mlp_dim=3072, patch_size=16,
+        text_hidden_dim=512, text_layers=12, text_heads=8, text_mlp_dim=2048,
+        fusion_dim=512,
+    ),
+    "clip-vit-base-patch32": dict(
+        clip_model_name="openai/clip-vit-base-patch32",
+        vision_hidden_dim=768, vision_layers=12, vision_heads=12,
+        vision_mlp_dim=3072, patch_size=32,
+        text_hidden_dim=512, text_layers=12, text_heads=8, text_mlp_dim=2048,
+        fusion_dim=512,
+    ),
+    "clip-vit-large-patch14": dict(
+        clip_model_name="openai/clip-vit-large-patch14",
+        vision_hidden_dim=1024, vision_layers=24, vision_heads=16,
+        vision_mlp_dim=4096, patch_size=14,
+        text_hidden_dim=768, text_layers=12, text_heads=12, text_mlp_dim=3072,
+        fusion_dim=768,
+    ),
+}
+
+
+def apply_model_preset(config: TrainingConfig, preset: str) -> TrainingConfig:
+    if preset not in MODEL_PRESETS:
+        raise ValueError(f"unknown model preset {preset!r}; have {sorted(MODEL_PRESETS)}")
+    return config.replace(**MODEL_PRESETS[preset])
+
+
 def apply_cli_overrides(config: TrainingConfig, argv: List[str]) -> TrainingConfig:
     """Apply ``--key=value`` CLI overrides onto a config.
 

@@ -16,8 +16,15 @@ def main(argv=None):
     from prcv2025reid_tpu.configs import TrainingConfig, apply_cli_overrides
     from prcv2025reid_tpu.training.trainer import Trainer
 
-    argv = sys.argv[1:] if argv is None else argv
-    config = apply_cli_overrides(TrainingConfig(), argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config = TrainingConfig()
+    for arg in list(argv):
+        if arg.startswith("--model_preset="):
+            from prcv2025reid_tpu.configs import apply_model_preset
+
+            config = apply_model_preset(config, arg.split("=", 1)[1])
+            argv.remove(arg)
+    config = apply_cli_overrides(config, argv)
 
     import os
 
