@@ -161,6 +161,10 @@ class TrainingConfig:
     # erf GELU is VPU-bound and Mosaic serializes it against the MXU); kept
     # for future scheduling work. docs/performance.md has the numbers.
     use_fused_mlp: bool = False
+    # Pallas fused residual+LayerNorm on the eval trunk: measured slower than
+    # XLA even in isolation on this toolchain (0.91 vs 0.75 ms — Mosaic
+    # elementwise codegen); see docs/performance.md. Kept for future tuning.
+    use_fused_resln: bool = False
     rank_topk: int = 100  # submission export depth (tools/eval_mm_protocol.py:629-643)
 
     # populated at runtime

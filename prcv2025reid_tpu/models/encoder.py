@@ -43,6 +43,7 @@ class UnifiedEncoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
+    resln_impl: str = "xla"
 
     @classmethod
     def from_config(cls, config: TrainingConfig, dtype=None) -> "UnifiedEncoder":
@@ -67,6 +68,7 @@ class UnifiedEncoder(nn.Module):
             dtype=dtype if dtype is not None else jnp.dtype(config.compute_dtype),
             attn_impl="auto" if config.use_pallas_attention else "xla",
             mlp_impl="auto" if config.use_fused_mlp else "xla",
+            resln_impl="auto" if config.use_fused_resln else "xla",
         )
 
     def setup(self):
@@ -86,6 +88,7 @@ class UnifiedEncoder(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
+            resln_impl=self.resln_impl,
         )
         self.text = TextTower(
             vocab_size=self.text_vocab,

@@ -309,13 +309,44 @@ def drop_path(
     return x * mask / keep
 
 
+class LNParams(nn.Module):
+    """LayerNorm scale/bias params under the nn.LayerNorm tree paths
+    ('<name>/scale', '<name>/bias') so callers can apply LN manually or fuse
+    it into a kernel."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return scale, bias
+
+
+def ln_apply(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5):
+    """Plain layer norm over the last axis, f32 statistics."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 class MERBlock(nn.Module):
     """Pre-LN transformer block with MER routing + DropPath.
 
     Reference: models/clip_backbone.py:15-123 (MERTransformerBlock).
     Operates on grouped activations [G, B, S, D] with static per-group ids.
+    Setup-style so the trunk can orchestrate the fused residual+LN stream
+    across block boundaries (models/vit.py).
     """
 
+    embed_dim: int
     num_heads: int
     mlp_dim: int
     num_experts: int
@@ -327,15 +358,10 @@ class MERBlock(nn.Module):
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        expert_ids: Tuple[int, ...],
-        deterministic: bool = True,
-    ) -> jnp.ndarray:
-        ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
-        attn_out = MERAttention(
+    def setup(self):
+        self.ln1 = LNParams(self.embed_dim, self.param_dtype, name="ln1")
+        self.ln2 = LNParams(self.embed_dim, self.param_dtype, name="ln2")
+        self.attn = MERAttention(
             num_heads=self.num_heads,
             num_experts=self.num_experts,
             rank=self.rank,
@@ -344,15 +370,8 @@ class MERBlock(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             name="attn",
-        )(nn.LayerNorm(name="ln1", **ln)(x), expert_ids)
-        rng1 = (
-            self.make_rng("droppath")
-            if (not deterministic and self.drop_path_rate > 0)
-            else None
         )
-        x = x + drop_path(attn_out, self.drop_path_rate, deterministic, rng1)
-
-        mlp_out = MERMlp(
+        self.mlp = MERMlp(
             mlp_dim=self.mlp_dim,
             num_experts=self.num_experts,
             rank=self.rank,
@@ -361,7 +380,23 @@ class MERBlock(nn.Module):
             param_dtype=self.param_dtype,
             impl=self.mlp_impl,
             name="mlp",
-        )(nn.LayerNorm(name="ln2", **ln)(x), expert_ids)
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        expert_ids: Tuple[int, ...],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        attn_out = self.attn(ln_apply(x, *self.ln1()), expert_ids)
+        rng1 = (
+            self.make_rng("droppath")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        x = x + drop_path(attn_out, self.drop_path_rate, deterministic, rng1)
+
+        mlp_out = self.mlp(ln_apply(x, *self.ln2()), expert_ids)
         rng2 = (
             self.make_rng("droppath")
             if (not deterministic and self.drop_path_rate > 0)

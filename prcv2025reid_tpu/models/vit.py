@@ -94,6 +94,7 @@ class MERVisionTransformer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
+    resln_impl: str = "xla"
 
     def setup(self):
         num_patches = (self.image_size // self.patch_size) ** 2
@@ -125,6 +126,7 @@ class MERVisionTransformer(nn.Module):
         # Linearly scaled drop-path per depth (reference: clip_backbone.py:196-207).
         self.blocks = [
             MERBlock(
+                embed_dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_dim=self.mlp_dim,
                 num_experts=n_exp,
@@ -139,11 +141,10 @@ class MERVisionTransformer(nn.Module):
             )
             for i in range(self.num_layers)
         ]
-        self.ln_final = nn.LayerNorm(
-            epsilon=1e-5,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="ln_final",
+        from prcv2025reid_tpu.models.mer import LNParams
+
+        self.ln_final = LNParams(
+            self.embed_dim, self.param_dtype, name="ln_final"
         )
         self.proj = nn.Dense(
             self.fusion_dim,
@@ -164,6 +165,8 @@ class MERVisionTransformer(nn.Module):
         The group dim carries the static modality routing (one modality per
         group — see models/mer.py for why this layout is the fast path).
         """
+        from prcv2025reid_tpu.models.mer import ln_apply
+
         G, B = patch_tokens.shape[:2]
         dt = self.dtype or patch_tokens.dtype
         cls = jnp.broadcast_to(
@@ -171,10 +174,62 @@ class MERVisionTransformer(nn.Module):
         )
         x = jnp.concatenate([cls, patch_tokens.astype(dt)], axis=2)
         x = x + self.pos_embed.astype(dt)[None, None]
+
+        if deterministic and self._use_fused_resln():
+            return self._trunk_fused(x, expert_ids)
+
         for block in self.blocks:
             x = block(x, expert_ids, deterministic=deterministic)
-        x = self.ln_final(x)
+        x = ln_apply(x, *self.ln_final())
         return self.proj(x[:, :, 0])
+
+    def _use_fused_resln(self) -> bool:
+        if self.resln_impl == "xla":
+            return False
+        if self.resln_impl in ("pallas", "pallas_interpret"):
+            return True
+        from prcv2025reid_tpu.ops.attention import _pallas_available
+
+        return _pallas_available()
+
+    def _trunk_fused(self, x: jnp.ndarray, expert_ids: Tuple[int, ...]) -> jnp.ndarray:
+        """Eval-path trunk with residual+LN fused into one memory pass at
+        every LN site (ops/fused_resln.py).  The fusion pairs cross block
+        boundaries: block i's mlp residual fuses with block i+1's ln1 (or
+        the final LN), so the stream carries (residual x, normalized h).
+        """
+        from prcv2025reid_tpu.models.mer import ln_apply
+        from prcv2025reid_tpu.ops.fused_resln import fused_residual_ln
+
+        interpret = self.resln_impl == "pallas_interpret"
+        shape = x.shape
+        D = shape[-1]
+
+        def fused(x2, branch2, ln_params):
+            scale, bias = ln_params
+            xn, h = fused_residual_ln(
+                x2.reshape(-1, D),
+                branch2.reshape(-1, D),
+                scale,
+                bias,
+                1e-5,
+                512,
+                interpret,
+            )
+            return xn.reshape(shape), h.reshape(shape)
+
+        h = ln_apply(x, *self.blocks[0].ln1())
+        for i, block in enumerate(self.blocks):
+            attn_out = block.attn(h, expert_ids)
+            x, h = fused(x, attn_out, block.ln2())
+            mlp_out = block.mlp(h, expert_ids)
+            next_ln = (
+                self.blocks[i + 1].ln1()
+                if i + 1 < len(self.blocks)
+                else self.ln_final()
+            )
+            x, h = fused(x, mlp_out, next_ln)
+        return self.proj(h[:, :, 0])
 
     def encode_single(
         self, images: jnp.ndarray, modality_id: int, deterministic: bool = True
