@@ -147,6 +147,7 @@ class TrainingConfig:
     eval_batch_size: int = 64
     inference_batch_size: int = 8
     best_model_path: str = "./checkpoints/best_model"
+    tensorboard: bool = True  # scalar export to <log_dir>/tb (tensorboardX)
 
     # ----- TPU-specific (no reference counterpart) -----
     compute_dtype: str = "bfloat16"  # trunk compute; losses/stats stay fp32

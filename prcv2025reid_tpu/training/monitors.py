@@ -111,13 +111,30 @@ class CEDiagnostics:
 
 
 class MetricsHistory:
-    """Per-epoch metric accumulation -> CSV (reference: train.py:1751-1756)."""
+    """Per-epoch metric accumulation -> CSV (reference: train.py:1751-1756)
+    with optional TensorBoard scalar export (the reference has neither
+    TensorBoard nor W&B, SURVEY.md §5.5)."""
 
-    def __init__(self):
+    def __init__(self, tensorboard_dir: str | None = None, tag_prefix: str = ""):
         self.rows: List[Dict] = []
+        self.tag_prefix = tag_prefix
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception:
+                self._tb = None
 
     def append(self, row: Dict):
         self.rows.append(dict(row))
+        if self._tb is not None:
+            step = int(row.get("epoch", len(self.rows)))
+            for k, v in row.items():
+                if isinstance(v, (int, float)) and k != "epoch":
+                    self._tb.add_scalar(f"{self.tag_prefix}{k}", float(v), step)
+            self._tb.flush()
 
     def to_csv(self, path: str):
         if not self.rows:

@@ -148,8 +148,11 @@ class Trainer:
             window=config.pair_coverage_window, target=config.pair_coverage_target
         )
         self.ce_diag = CEDiagnostics(self.num_classes)
-        self.train_history = MetricsHistory()
-        self.eval_history = MetricsHistory()
+        tb_dir = (
+            os.path.join(config.log_dir, "tb") if config.tensorboard else None
+        )
+        self.train_history = MetricsHistory(tb_dir, tag_prefix="train/")
+        self.eval_history = MetricsHistory(tb_dir, tag_prefix="eval/")
         self.start_epoch = 1
         self.best_map = 0.0
         self.gallery_cache = GalleryCache(config.eval_cache_dir, config.eval_cache_tag)
