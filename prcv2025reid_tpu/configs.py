@@ -71,8 +71,11 @@ class TrainingConfig:
     head_lr_warmup_epochs: int = 2  # head LR step-down start epoch
     weight_decay: float = 1e-4
     warmup_epochs: int = 5
-    scheduler: str = "cosine"
+    scheduler: str = "cosine"  # cosine | step | multistep (train.py:1490-1524)
     lr_floor_ratio: float = 0.01  # warmup start / cosine floor (reference: train.py:1250-1262)
+    step_lr_every: int = 20  # 'step' scheduler period (epochs after warmup)
+    step_lr_gamma: float = 0.1
+    multistep_milestones: Tuple[int, ...] = (30, 50)
 
     # stability (reference: configs/config.py:80-82, train.py:975-1045)
     adaptive_gradient_clip: bool = True

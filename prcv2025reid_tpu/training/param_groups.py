@@ -87,15 +87,22 @@ def build_optimizer(
     Gradient accumulation (train.py:1481-1488) is layered on with
     optax.MultiSteps when configured.
     """
-    from prcv2025reid_tpu.training.schedulers import warmup_cosine_multiplier_jnp
+    from prcv2025reid_tpu.training.schedulers import lr_multiplier_jnp
 
     base_lrs = group_learning_rates(config)
 
     def make_schedule(base_lr: float):
         def schedule(step):
             epoch = step // max(1, steps_per_epoch)
-            return base_lr * warmup_cosine_multiplier_jnp(
-                epoch, config.num_epochs, config.warmup_epochs, config.lr_floor_ratio
+            return base_lr * lr_multiplier_jnp(
+                epoch,
+                scheduler=config.scheduler,
+                num_epochs=config.num_epochs,
+                warmup_epochs=config.warmup_epochs,
+                floor=config.lr_floor_ratio,
+                step_every=config.step_lr_every,
+                step_gamma=config.step_lr_gamma,
+                milestones=tuple(config.multistep_milestones),
             )
 
         return schedule

@@ -211,3 +211,40 @@ def warmup_cosine_multiplier_jnp(epoch, num_epochs: int, warmup_epochs: int, flo
     progress = jnp.minimum(1.0, (epoch - warmup_epochs) / span)
     cos = floor + (1.0 - floor) * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
     return jnp.where(epoch < warmup_epochs, warm, cos)
+
+
+def lr_multiplier_jnp(
+    epoch,
+    *,
+    scheduler: str = "cosine",
+    num_epochs: int = 60,
+    warmup_epochs: int = 5,
+    floor: float = 0.01,
+    step_every: int = 20,
+    step_gamma: float = 0.1,
+    milestones: Tuple[int, ...] = (30, 50),
+):
+    """Traced epoch -> LR multiplier for every scheduler the reference's
+    select supports statically (train.py:1490-1524): cosine (warmup+cosine),
+    step (gamma every N epochs after warmup), multistep (gamma at
+    milestones).  'plateau' reduces on host feedback and maps onto the SDM
+    stability machinery instead (SURVEY.md §5.3)."""
+    import jax.numpy as jnp
+
+    if scheduler in ("cosine", "plateau"):
+        return warmup_cosine_multiplier_jnp(epoch, num_epochs, warmup_epochs, floor)
+    epoch = jnp.asarray(epoch, jnp.float32)
+    warm = floor + (1.0 - floor) * (epoch + 1.0) / max(1, warmup_epochs)
+    if scheduler == "step":
+        n_drops = jnp.floor(
+            jnp.maximum(0.0, epoch - warmup_epochs) / max(1, step_every)
+        )
+        decayed = step_gamma**n_drops
+    elif scheduler == "multistep":
+        n_drops = sum(
+            (epoch >= m).astype(jnp.float32) for m in milestones
+        )
+        decayed = step_gamma**n_drops
+    else:
+        raise ValueError(f"unknown scheduler {scheduler!r}")
+    return jnp.where(epoch < warmup_epochs, warm, jnp.maximum(decayed, floor))

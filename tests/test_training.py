@@ -120,6 +120,24 @@ class TestSchedulers:
         assert w == s.weight_scheduler.current_weight
         assert t == s.temp_scheduler.current_temp
 
+    def test_step_and_multistep_schedulers(self):
+        from prcv2025reid_tpu.training.schedulers import lr_multiplier_jnp
+
+        m = lambda e, **kw: float(lr_multiplier_jnp(e, **kw))
+        # step: gamma every 10 epochs after 2-epoch warmup
+        kw = dict(scheduler="step", num_epochs=40, warmup_epochs=2,
+                  step_every=10, step_gamma=0.1, floor=0.001)
+        assert m(2, **kw) == pytest.approx(1.0)
+        assert m(11, **kw) == pytest.approx(1.0)
+        assert m(12, **kw) == pytest.approx(0.1)
+        assert m(22, **kw) == pytest.approx(0.01)
+        # multistep at milestones
+        kw = dict(scheduler="multistep", num_epochs=40, warmup_epochs=2,
+                  milestones=(10, 20), step_gamma=0.5, floor=0.001)
+        assert m(5, **kw) == pytest.approx(1.0)
+        assert m(10, **kw) == pytest.approx(0.5)
+        assert m(20, **kw) == pytest.approx(0.25)
+
     def test_warmup_cosine_shape(self):
         mult = [warmup_cosine_multiplier(e, 10, 2, 0.01) for e in range(10)]
         assert mult[0] < mult[1] <= 1.0  # warmup rises
