@@ -121,7 +121,14 @@ class MERDense(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, expert_ids: Tuple[int, ...]) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, expert_ids: Tuple[int, ...], fold: bool = True
+    ) -> jnp.ndarray:
+        """``fold=True`` (eval/serving): LoRA folds into per-group effective
+        kernels — fastest forward.  ``fold=False`` (training): the classic
+        thin side path — the backward then produces thin dA/dB matmuls
+        instead of a dense [G, in, out] dW_eff per linear (profiled at ~13%
+        of the train step)."""
         assert len(expert_ids) == x.shape[0], "one expert id per group"
         in_dim = x.shape[-1]
         kernel, bias = _SharedParams(
@@ -140,10 +147,19 @@ class MERDense(nn.Module):
             self.param_dtype,
         )
         dt = self.dtype or x.dtype
-        w_eff = effective_weights(
-            kernel, lora_a, lora_b, tuple(expert_ids), self.alpha / self.rank, dt
-        )
-        y = jnp.einsum("g...i,gio->g...o", x.astype(dt), w_eff)
+        ids = tuple(expert_ids)
+        xa = x.astype(dt)
+        if fold:
+            w_eff = effective_weights(
+                kernel, lora_a, lora_b, ids, self.alpha / self.rank, dt
+            )
+            y = jnp.einsum("g...i,gio->g...o", xa, w_eff)
+        else:
+            a_sel = jnp.stack([lora_a[i] for i in ids]).astype(dt)
+            b_sel = jnp.stack([lora_b[i] for i in ids]).astype(dt)
+            y = xa @ kernel.astype(dt)
+            z = jnp.einsum("g...i,gir->g...r", xa, a_sel)
+            y = y + jnp.einsum("g...r,gro->g...o", z, b_sel) * (self.alpha / self.rank)
         if bias is not None:
             y = y + bias.astype(dt)
         return y
@@ -167,7 +183,9 @@ class MERAttention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, expert_ids: Tuple[int, ...]) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, expert_ids: Tuple[int, ...], fold: bool = True
+    ) -> jnp.ndarray:
         G, B, S, D = x.shape
         assert D % self.num_heads == 0
         head_dim = D // self.num_heads
@@ -175,18 +193,38 @@ class MERAttention(nn.Module):
         scale = self.alpha / self.rank
         ids = tuple(expert_ids)
 
-        w_parts, b_parts = [], []
-        for name in ("q_proj", "k_proj", "v_proj"):
-            kernel, bias, la, lb = _MERProjParams(
-                D, self.num_experts, self.rank, self.param_dtype, name=name
-            )(D)
-            w_parts.append(effective_weights(kernel, la, lb, ids, scale, dt))
-            b_parts.append(bias.astype(dt))
-        w_qkv = jnp.concatenate(w_parts, axis=2)  # [G, D, 3D]
-        b_qkv = jnp.concatenate(b_parts, axis=0)  # [3D]
-
+        proj_params = [
+            _MERProjParams(D, self.num_experts, self.rank, self.param_dtype, name=n)(D)
+            for n in ("q_proj", "k_proj", "v_proj")
+        ]
+        b_qkv = jnp.concatenate([p[1].astype(dt) for p in proj_params], axis=0)
         xa = x.astype(dt)
-        qkv = jnp.einsum("gbsi,gio->gbso", xa, w_qkv) + b_qkv
+        if fold:
+            w_qkv = jnp.concatenate(
+                [effective_weights(k_, la, lb, ids, scale, dt)
+                 for k_, _, la, lb in proj_params],
+                axis=2,
+            )  # [G, D, 3D]
+            qkv = jnp.einsum("gbsi,gio->gbso", xa, w_qkv) + b_qkv
+        else:
+            # training: thin LoRA side paths keep the backward cheap
+            w_pack = jnp.concatenate(
+                [k_.astype(dt) for k_, _, _, _ in proj_params], axis=1
+            )  # [D, 3D]
+            a_pack = jnp.concatenate(
+                [jnp.stack([la[i] for i in ids]) for _, _, la, _ in proj_params],
+                axis=2,
+            ).astype(dt)  # [G, D, 3r]
+            qkv = xa @ w_pack + b_qkv
+            z = jnp.einsum("gbsi,gir->gbsr", xa, a_pack)  # [G, B, S, 3r]
+            r = self.rank
+            deltas = []
+            for j, (_, _, _, lb) in enumerate(proj_params):
+                b_sel = jnp.stack([lb[i] for i in ids]).astype(dt)
+                deltas.append(
+                    jnp.einsum("gbsr,gro->gbso", z[..., j * r : (j + 1) * r], b_sel)
+                )
+            qkv = qkv + jnp.concatenate(deltas, axis=-1) * scale
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         impl = self.attn_impl
@@ -223,7 +261,7 @@ class MERAttention(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="out_proj",
-        )(out, ids)
+        )(out, ids, fold=fold)
 
 
 class MERMlp(nn.Module):
@@ -246,13 +284,17 @@ class MERMlp(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, expert_ids: Tuple[int, ...]) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, expert_ids: Tuple[int, ...], fold: bool = True
+    ) -> jnp.ndarray:
         D = x.shape[-1]
         impl = self.impl
         if impl == "auto":
             from prcv2025reid_tpu.ops.attention import _pallas_available
 
             impl = "pallas" if _pallas_available() else "xla"
+        if not fold:
+            impl = "xla"  # fused kernel requires folded weights
 
         if impl in ("pallas", "pallas_interpret"):
             dt = self.dtype or x.dtype
@@ -289,9 +331,9 @@ class MERMlp(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
-        h = MERDense(self.mlp_dim, name="fc1", **mer)(x, expert_ids)
+        h = MERDense(self.mlp_dim, name="fc1", **mer)(x, expert_ids, fold=fold)
         h = jax.nn.gelu(h, approximate=False)
-        return MERDense(D, name="fc2", **mer)(h, expert_ids)
+        return MERDense(D, name="fc2", **mer)(h, expert_ids, fold=fold)
 
 
 def drop_path(
@@ -388,7 +430,10 @@ class MERBlock(nn.Module):
         expert_ids: Tuple[int, ...],
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        attn_out = self.attn(ln_apply(x, *self.ln1()), expert_ids)
+        # eval folds LoRA into the kernels (fast forward); training keeps the
+        # thin side path (cheap backward) — see MERDense.
+        fold = deterministic
+        attn_out = self.attn(ln_apply(x, *self.ln1()), expert_ids, fold=fold)
         rng1 = (
             self.make_rng("droppath")
             if (not deterministic and self.drop_path_rate > 0)
@@ -396,7 +441,7 @@ class MERBlock(nn.Module):
         )
         x = x + drop_path(attn_out, self.drop_path_rate, deterministic, rng1)
 
-        mlp_out = self.mlp(ln_apply(x, *self.ln2()), expert_ids)
+        mlp_out = self.mlp(ln_apply(x, *self.ln2()), expert_ids, fold=fold)
         rng2 = (
             self.make_rng("droppath")
             if (not deterministic and self.drop_path_rate > 0)

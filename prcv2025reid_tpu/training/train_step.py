@@ -83,7 +83,24 @@ def make_train_step(
             for i, name in enumerate(("dropout", "droppath", "moddrop"))
         }
 
+        def freeze(params):
+            """stop_gradient on frozen leaves so XLA dead-code-eliminates
+            their weight-gradient matmuls (profiled at ~1/3 of the backward
+            under freeze_backbone — optax.set_to_zero alone still computes
+            them)."""
+            if not config.freeze_backbone:
+                return params
+            from prcv2025reid_tpu.training.param_groups import build_label_tree
+
+            labels = build_label_tree(params, True)
+            return jax.tree.map(
+                lambda lbl, p: jax.lax.stop_gradient(p) if lbl == "frozen" else p,
+                labels,
+                params,
+            )
+
         def loss_fn(params):
+            params = freeze(params)
             outputs, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["images"],
