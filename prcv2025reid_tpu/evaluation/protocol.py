@@ -100,7 +100,7 @@ def embed_samples(
         samples = [dataset.get_query_sample(i, mods, rng) for i in chunk]
         batch = collate(samples, tokenizer)
         if sharding is not None:
-            batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+            batch = jax.device_put(batch, sharding)  # pytree-aware, one call
         feats = np.asarray(embed_fn(variables, batch))
         feats_out.append(feats[:n_real])
         pids_out.append(batch["pids"][:n_real])

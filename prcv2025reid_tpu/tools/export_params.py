@@ -16,11 +16,15 @@ from typing import Dict
 import numpy as np
 
 
-def params_to_npz(path: str, variables: Dict):
+def params_to_npz(path: str, variables: Dict) -> str:
+    """Returns the actual written path (np.savez appends '.npz' silently)."""
     import flax.traverse_util as tu
 
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     flat = tu.flatten_dict(variables, sep="/")
     np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+    return path
 
 
 def npz_to_params(path: str, template: Dict) -> Dict:
@@ -84,8 +88,10 @@ def main(argv=None):
         template,
         name=os.path.basename(args.model_path),
     )
-    params_to_npz(args.out, {"params": state.params, "batch_stats": state.batch_stats})
-    print(f"wrote {args.out}")
+    written = params_to_npz(
+        args.out, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    print(f"wrote {written}")
 
 
 if __name__ == "__main__":

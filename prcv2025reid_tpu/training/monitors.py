@@ -124,7 +124,14 @@ class MetricsHistory:
                 from tensorboardX import SummaryWriter
 
                 self._tb = SummaryWriter(tensorboard_dir)
-            except Exception:
+            except Exception as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "TensorBoard export disabled (%s: %s) — CSV histories still written",
+                    type(e).__name__,
+                    e,
+                )
                 self._tb = None
 
     def append(self, row: Dict):

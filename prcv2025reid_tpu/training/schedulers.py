@@ -201,12 +201,17 @@ def warmup_cosine_multiplier(
     return floor + (1.0 - floor) * 0.5 * (1.0 + math.cos(math.pi * progress))
 
 
+def _warmup_ramp_jnp(epoch, warmup_epochs: int, floor: float):
+    """Shared linear warmup ramp (reference: train.py:1252-1255)."""
+    return floor + (1.0 - floor) * (epoch + 1.0) / max(1, warmup_epochs)
+
+
 def warmup_cosine_multiplier_jnp(epoch, num_epochs: int, warmup_epochs: int, floor: float = 0.01):
     """Traced-value version of ``warmup_cosine_multiplier`` for optax schedules."""
     import jax.numpy as jnp
 
     epoch = jnp.asarray(epoch, jnp.float32)
-    warm = floor + (1.0 - floor) * (epoch + 1.0) / max(1, warmup_epochs)
+    warm = _warmup_ramp_jnp(epoch, warmup_epochs, floor)
     span = max(1, num_epochs - warmup_epochs)
     progress = jnp.minimum(1.0, (epoch - warmup_epochs) / span)
     cos = floor + (1.0 - floor) * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
@@ -234,7 +239,7 @@ def lr_multiplier_jnp(
     if scheduler in ("cosine", "plateau"):
         return warmup_cosine_multiplier_jnp(epoch, num_epochs, warmup_epochs, floor)
     epoch = jnp.asarray(epoch, jnp.float32)
-    warm = floor + (1.0 - floor) * (epoch + 1.0) / max(1, warmup_epochs)
+    warm = _warmup_ramp_jnp(epoch, warmup_epochs, floor)
     if scheduler == "step":
         n_drops = jnp.floor(
             jnp.maximum(0.0, epoch - warmup_epochs) / max(1, step_every)

@@ -148,11 +148,17 @@ class Trainer:
             window=config.pair_coverage_window, target=config.pair_coverage_target
         )
         self.ce_diag = CEDiagnostics(self.num_classes)
-        tb_dir = (
-            os.path.join(config.log_dir, "tb") if config.tensorboard else None
+        # separate event dirs per history — tensorboardX names event files by
+        # whole-second timestamp, so two writers in one dir collide
+        tb = config.tensorboard
+        self.train_history = MetricsHistory(
+            os.path.join(config.log_dir, "tb", "train") if tb else None,
+            tag_prefix="train/",
         )
-        self.train_history = MetricsHistory(tb_dir, tag_prefix="train/")
-        self.eval_history = MetricsHistory(tb_dir, tag_prefix="eval/")
+        self.eval_history = MetricsHistory(
+            os.path.join(config.log_dir, "tb", "eval") if tb else None,
+            tag_prefix="eval/",
+        )
         self.start_epoch = 1
         self.best_map = 0.0
         self.gallery_cache = GalleryCache(config.eval_cache_dir, config.eval_cache_tag)
