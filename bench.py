@@ -99,6 +99,9 @@ def main():
         print(f"xla path failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     candidates = {k: v for k, v in results.items() if v}
+    if not candidates:
+        print("every measurement path failed — see stderr above", file=sys.stderr)
+        sys.exit(1)
     impl, value = max(candidates.items(), key=lambda kv: kv[1])
     print(f"throughputs: {results} -> using {impl}", file=sys.stderr)
     print(

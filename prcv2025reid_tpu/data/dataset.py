@@ -100,11 +100,15 @@ class MultiModalDataset:
         split: str = "train",
         person_ids: Optional[Sequence[int]] = None,
         pid2label: Optional[Dict[int, int]] = None,
+        records: Optional[List[Record]] = None,
     ):
         self.config = config
         self.split = split
         self.is_training = split == "train"
-        self.records = self._load_annotations()
+        # ``records`` lets a split reuse an already-expanded dataset instead
+        # of re-reading the annotation JSON and re-globbing every pid dir
+        # (the pools are identity-level, independent of the split).
+        self.records = list(records) if records is not None else self._load_annotations()
         if person_ids is not None:
             keep = set(person_ids)
             self.records = [r for r in self.records if r.pid in keep]
@@ -279,16 +283,21 @@ class MultiModalDataset:
         }
 
 
-def analyze_sampling_capability(dataset: MultiModalDataset, limit: int = 2000) -> Dict:
+def analyze_sampling_capability(
+    dataset: MultiModalDataset, limit: Optional[int] = None
+) -> Dict:
     """Pre-flight data-health check (reference: datasets/dataset.py:95-157).
 
     Counts per-modality availability and "strong" IDs (have both a vis and a
     non-vis side) — training aborts when no ID is pairable
-    (reference: train.py:1371-1375).
+    (reference: train.py:1371-1375).  ``limit=None`` scans the full dataset
+    (the abort decision must not be made on a prefix); pass a limit only for
+    quick interactive panels.
     """
     per_modality = {m: 0 for m in ("vis", "nir", "sk", "cp", "text")}
     pid_sides: Dict[int, List[bool]] = {}
-    for rec in dataset.records[:limit]:
+    records = dataset.records if limit is None else dataset.records[:limit]
+    for rec in records:
         mods = rec.modalities()
         for m in mods:
             per_modality[m] += 1
@@ -299,7 +308,7 @@ def analyze_sampling_capability(dataset: MultiModalDataset, limit: int = 2000) -
         side[1] |= has_nonvis
     strong = [p for p, (v, nv) in pid_sides.items() if v and nv]
     return {
-        "num_records": min(len(dataset.records), limit),
+        "num_records": len(records),
         "num_ids": len(pid_sides),
         "per_modality": per_modality,
         "strong_ids": len(strong),

@@ -52,9 +52,10 @@ def _prepare_vocab_tsv(vocab_dir: str) -> Optional[str]:
     merges = os.path.join(vocab_dir, "merges.txt")
     if not (os.path.exists(vocab_json) and os.path.exists(merges)):
         return None
-    tsv = os.path.join(
-        _cache_dir(), f"vocab_{abs(hash(os.path.abspath(vocab_json))) % 10**10}.tsv"
-    )
+    import hashlib
+
+    path_key = hashlib.md5(os.path.abspath(vocab_json).encode()).hexdigest()[:12]
+    tsv = os.path.join(_cache_dir(), f"vocab_{path_key}.tsv")
     if not os.path.exists(tsv) or os.path.getmtime(tsv) < os.path.getmtime(vocab_json):
         with open(vocab_json, encoding="utf-8") as f:
             vocab = json.load(f)
@@ -109,9 +110,11 @@ class NativeClipBPETokenizer:
             pass
 
     def encode_ids(self, text: str):
+        from prcv2025reid_tpu.data.tokenizer import _basic_clean, _whitespace_clean
+
         buf = (ctypes.c_int * 512)()
-        # normalize whitespace like the Python path
-        text = " ".join(str(text).split())
+        # normalize exactly like the Python path (double html.unescape + ws)
+        text = _whitespace_clean(_basic_clean(str(text)))
         n = self._lib.bpe_encode(self._handle, text.encode("utf-8"), buf, 512)
         return list(buf[: max(0, n)])
 

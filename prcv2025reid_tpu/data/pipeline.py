@@ -40,7 +40,12 @@ def collate(samples: Sequence[Dict], tokenizer) -> Dict[str, np.ndarray]:
 
     captions = [s["caption"] or "" for s in samples]
     tokens = tokenizer(captions).astype(np.int32)
-    text_mask = np.asarray([s["text_mask"] for s in samples], np.float32)
+    # real-text check: whitespace-only captions are masked out, mirroring the
+    # reference's has_valid_text = len(td.strip()) > 0 (dataset.py:1530-1540)
+    text_mask = np.asarray(
+        [s["text_mask"] * (1.0 if str(c).strip() else 0.0) for s, c in zip(samples, captions)],
+        np.float32,
+    )
 
     return {
         "images": images,

@@ -81,23 +81,25 @@ class PKBatchSampler:
     def load_state_dict(self, state: Dict):
         self.rng.bit_generator.state = state["rng_state"]
 
-    def _choose_ids(self) -> List[int]:
+    def _choose_ids(self, strong_pool=None, soft_pool=None) -> List[int]:
         rng = self.rng
-        if len(self.strong_ids) >= self.P:
-            if self.allow_id_reuse:
-                return list(rng.choice(self.strong_ids, self.P, replace=True))
-            return list(rng.choice(self.strong_ids, self.P, replace=False))
-        need = self.P - len(self.strong_ids)
+        strong = self.strong_ids if strong_pool is None else strong_pool
+        soft = self.soft_ids if soft_pool is None else soft_pool
+        if len(strong) >= self.P:
+            return list(rng.choice(strong, self.P, replace=self.allow_id_reuse))
+        need = self.P - len(strong)
         fillers: List[int] = []
-        if self.soft_ids:
-            fillers = list(rng.choice(self.soft_ids, need, replace=True))
-        return list(self.strong_ids) + fillers
+        if soft:
+            fillers = list(
+                rng.choice(soft, min(need, len(soft)) if not self.allow_id_reuse else need,
+                           replace=self.allow_id_reuse)
+            )
+        return list(strong) + fillers
 
-    def sample_batch(self) -> List[int]:
-        """One batch of P*K record indices (vis-first per id)."""
+    def _batch_for_ids(self, ids: List[int]) -> List[int]:
         rng = self.rng
         batch: List[int] = []
-        for pid in self._choose_ids():
+        for pid in ids:
             d = self.pid_buckets.get(pid, {"vis": [], "nonvis": []})
             vis_pool = d["vis"] or d["nonvis"]
             nonvis_pool = d["nonvis"] or d["vis"]
@@ -110,16 +112,38 @@ class PKBatchSampler:
                 batch.extend(int(x) for x in rng.choice(pool, k, replace=replace))
         return batch
 
+    def sample_batch(self) -> List[int]:
+        """One batch of P*K record indices (vis-first per id)."""
+        return self._batch_for_ids(self._choose_ids())
+
     def __len__(self) -> int:
+        if not self.allow_id_reuse:
+            # reference semantics: each id serves at most once per epoch
+            # (datasets/dataset.py:1458-1464 removes used pids)
+            return max(1, len(self.strong_ids) // self.P)
         return self.steps_per_epoch
 
     def __iter__(self) -> Iterator[List[int]]:
         import logging
 
+        strong_pool = list(self.strong_ids)
+        soft_pool = list(self.soft_ids)
         yielded = 0
         dropped = 0
         for _ in range(self.steps_per_epoch):
-            batch = self.sample_batch()
+            if not self.allow_id_reuse and not strong_pool and not soft_pool:
+                break
+            ids = (
+                self._choose_ids()
+                if self.allow_id_reuse
+                else self._choose_ids(strong_pool, soft_pool)
+            )
+            batch = self._batch_for_ids(ids)
+            if not self.allow_id_reuse:
+                # consume: used ids leave the pools (datasets/dataset.py:1458-1464)
+                used = set(ids)
+                strong_pool = [p for p in strong_pool if p not in used]
+                soft_pool = [p for p in soft_pool if p not in used]
             if len(batch) == self.P * self.K:
                 yielded += 1
                 yield batch

@@ -36,8 +36,14 @@ def create_split_datasets(
     train_ids, val_ids = split_ids(full.person_ids, config.val_ratio, config.seed)
     all_ids = sorted(set(train_ids) | set(val_ids))
     pid2label = {pid: i for i, pid in enumerate(all_ids)}
-    train_ds = MultiModalDataset(config, "train", person_ids=train_ids, pid2label=pid2label)
-    val_ds = MultiModalDataset(config, "val", person_ids=val_ids, pid2label=pid2label)
+    # reuse the expanded records — annotation parsing + pid-dir globbing is
+    # the expensive part and is split-independent
+    train_ds = MultiModalDataset(
+        config, "train", person_ids=train_ids, pid2label=pid2label, records=full.records
+    )
+    val_ds = MultiModalDataset(
+        config, "val", person_ids=val_ids, pid2label=pid2label, records=full.records
+    )
     return train_ds, val_ds, pid2label
 
 

@@ -223,9 +223,21 @@ def build_tokenizer(
     cache: bool = True,
     prefer_native: bool = True,
 ):
-    """Preference order: native C++ BPE -> Python BPE -> hashed fallback."""
+    """Preference order: native C++ BPE -> Python BPE -> hashed fallback.
+
+    A configured-but-missing vocab path raises: silently hashing captions a
+    trained model has never seen would corrupt every text-involving metric.
+    """
     tok = None
-    if vocab_path and os.path.isdir(vocab_path):
+    if vocab_path:
+        if os.path.isfile(vocab_path):  # accept .../vocab.json directly
+            vocab_path = os.path.dirname(vocab_path)
+        if not os.path.isdir(vocab_path):
+            raise FileNotFoundError(
+                f"tokenizer_vocab_path={vocab_path!r} does not exist — refusing "
+                "to silently fall back to the hash tokenizer (set it to None "
+                "explicitly for smoke runs)"
+            )
         if prefer_native:
             try:
                 from prcv2025reid_tpu.data.native_tokenizer import (
@@ -233,7 +245,14 @@ def build_tokenizer(
                 )
 
                 tok = NativeClipBPETokenizer(vocab_path, context_length)
-            except Exception:
+            except Exception as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native BPE unavailable (%s: %s) — using Python BPE",
+                    type(e).__name__,
+                    e,
+                )
                 tok = None
         if tok is None:
             tok = ClipBPETokenizer(vocab_path, context_length)

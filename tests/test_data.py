@@ -92,6 +92,20 @@ class TestSampler:
         b = s2.sample_batch()
         assert a == b
 
+    def test_no_id_reuse_consumes_pool(self, tiny_data_config):
+        """allow_id_reuse=False: every id serves at most once per epoch and
+        the epoch ends when the pool is spent (reference removes used pids,
+        datasets/dataset.py:1458-1464)."""
+        ds = MultiModalDataset(tiny_data_config, "train")
+        sampler = PKBatchSampler(ds, 2, 2, allow_id_reuse=False, seed=0,
+                                 steps_per_epoch=50)
+        batches = list(sampler)
+        assert len(sampler) == 3  # 6 strong ids // P=2
+        seen = [ds.records[i].pid for b in batches for i in b]
+        vals, counts = np.unique(seen, return_counts=True)
+        assert (counts <= 2).all()  # each id at most once (K=2 records)
+        assert len(batches) <= 3
+
     def test_odd_k_gives_extra_nonvis(self, tiny_data_config):
         ds = MultiModalDataset(tiny_data_config, "train")
         sampler = PKBatchSampler(ds, 2, 3, seed=0)

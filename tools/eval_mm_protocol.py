@@ -103,8 +103,15 @@ def main(argv=None):
         return embed_fns[mods]
 
     # cache key must change with the checkpoint — stale gallery features from
-    # a different model would silently corrupt every metric
-    ckpt_tag = f"{args.cache_tag}_ep{host.get('epoch', 0)}_st{int(state.step)}"
+    # a different model would silently corrupt every metric.  Epoch/step alone
+    # collide across runs, so fingerprint actual parameters too.
+    import hashlib
+
+    import numpy as np
+
+    cls_kernel = np.asarray(state.params["bn_neck"]["classifier"]["kernel"])
+    fp = hashlib.md5(cls_kernel.tobytes()).hexdigest()[:10]
+    ckpt_tag = f"{args.cache_tag}_ep{host.get('epoch', 0)}_st{int(state.step)}_{fp}"
     result = evaluate_protocol(
         None,
         eval_vars,

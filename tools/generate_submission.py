@@ -9,7 +9,9 @@ Usage:
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root (prcv2025reid_tpu pkg)
+sys.path.insert(0, _HERE)  # tools/ (eval_mm_protocol module)
 
 
 def main(argv=None):
@@ -32,5 +34,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()
