@@ -295,3 +295,59 @@ class TestSDMModuleGoldenParity:
         mod = SemanticDisentanglementModule(semantic_dim=D, num_heads=4, dtype=jnp.float32)
         got = np.asarray(mod.apply(variables, jnp.asarray(x), deterministic=True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestMERLinearGoldenParity:
+    def test_matches_reference_routing_and_scaling(self, ref_modules, rng):
+        """Reference MERLinear (shared + per-modality LoRA, scaling=alpha/rank)
+        vs our MERDense in both fold modes, per modality."""
+        torch, _, _ = ref_modules
+        import importlib
+
+        sys.path.insert(0, REFERENCE)
+        mer_ref = importlib.import_module("models.mer_lora")
+        sys.path.remove(REFERENCE)
+
+        import jax.numpy as jnp
+
+        from prcv2025reid_tpu.models.mer import MERDense
+
+        D_in, D_out, R, A = 16, 24, 4, 1.0
+        mods = ["vis", "nir", "sk", "cp"]
+        torch.manual_seed(3)
+        ref = mer_ref.MERLinear(D_in, D_out, mods, lora_rank=R, lora_alpha=A).eval()
+        # give LoRA B non-zero weights so routing actually differentiates
+        with torch.no_grad():
+            for m in mods:
+                ref.loras[m].lora_B.weight.copy_(
+                    torch.tensor(rng.normal(size=(D_out, R)) * 0.3, dtype=torch.float32)
+                )
+
+        x = rng.normal(size=(3, 5, D_in)).astype(np.float32)
+
+        variables = {
+            "params": {
+                "shared": {
+                    "kernel": jnp.asarray(ref.shared_linear.weight.detach().numpy().T),
+                    "bias": jnp.asarray(ref.shared_linear.bias.detach().numpy()),
+                },
+                "lora_A": jnp.asarray(
+                    np.stack([ref.loras[m].lora_A.weight.detach().numpy().T for m in mods])
+                ),
+                "lora_B": jnp.asarray(
+                    np.stack([ref.loras[m].lora_B.weight.detach().numpy().T for m in mods])
+                ),
+            }
+        }
+        mod = MERDense(D_out, num_experts=4, rank=R, alpha=A, dtype=jnp.float32)
+        for mid, mname in enumerate(mods):
+            with torch.no_grad():
+                want = ref(torch.tensor(x), mname).numpy()  # [3, 5, D_out]
+            for fold in (True, False):
+                got = np.asarray(
+                    mod.apply(variables, jnp.asarray(x)[None], (mid,), fold=fold)
+                )[0]
+                np.testing.assert_allclose(
+                    got, want, rtol=2e-4, atol=2e-4,
+                    err_msg=f"modality={mname} fold={fold}",
+                )
