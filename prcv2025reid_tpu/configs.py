@@ -53,10 +53,12 @@ class TrainingConfig:
     num_ids_per_batch: int = 3  # P
     instances_per_id: int = 2  # K (>=2 to guarantee vis/non-vis pairing)
     allow_id_reuse: bool = True
-    sampling_fallback: bool = True
-    min_modal_coverage: float = 0.8
-    force_modal_pairs: bool = True
-    gradient_accumulation_steps: int = 1
+    sampling_fallback: bool = True  # soft-id fill + bucket swap when strong pool is short
+    min_modal_coverage: float = 0.8  # warn when strong-id coverage drops below
+    force_modal_pairs: bool = True  # per-id K//2 vis + K-K//2 non-vis split
+    # None = auto-size to target_effective_batch (reference: train.py:1481-1488
+    # accum = max(1, 16 // batch_size)); an explicit int overrides.
+    gradient_accumulation_steps: Optional[int] = None
     target_effective_batch: int = 16  # reference: train.py:1481-1488
     freeze_backbone: bool = True
     num_epochs: int = 60
@@ -71,11 +73,17 @@ class TrainingConfig:
     head_lr_warmup_epochs: int = 2  # head LR step-down start epoch
     weight_decay: float = 1e-4
     warmup_epochs: int = 5
-    scheduler: str = "cosine"  # cosine | step | multistep (train.py:1490-1524)
+    scheduler: str = "cosine"  # cosine | step | multistep | plateau (train.py:1490-1524)
     lr_floor_ratio: float = 0.01  # warmup start / cosine floor (reference: train.py:1250-1262)
     step_lr_every: int = 20  # 'step' scheduler period (epochs after warmup)
     step_lr_gamma: float = 0.1
     multistep_milestones: Tuple[int, ...] = (30, 50)
+    # 'plateau' = ReduceLROnPlateau on eval map_avg2 (reference: train.py:1504-1510,
+    # mode='max', factor=0.5, patience=8, threshold=0.001 rel, min_lr=base*0.001)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 8
+    plateau_threshold: float = 0.001
+    plateau_min_scale: float = 0.001
 
     # stability (reference: configs/config.py:80-82, train.py:975-1045)
     adaptive_gradient_clip: bool = True
@@ -94,7 +102,10 @@ class TrainingConfig:
     sdm_weight_initial: float = 0.1
     sdm_weight_final: float = 0.5
     sdm_weight_max: float = 0.5
-    contrastive_weight: float = 0.0  # live value, driven by the SDM scheduler
+    # The live SDM weight before the scheduler's first epoch-driven update
+    # (reference: models/model.py:294 reads it at init; train.py:836-850 falls
+    # back to it when scheduler metrics are missing).  0.0 = warmup-silent.
+    contrastive_weight: float = 0.0
     sdm_semantic_dim: int = 512
     sdm_num_heads: int = 8
     sdm_temperature: float = 0.2
@@ -134,7 +145,8 @@ class TrainingConfig:
     save_dir: str = "./checkpoints"
     log_dir: str = "./logs"
     save_freq: int = 20
-    eval_freq: int = 15
+    # (the reference's ``eval_freq`` field is dead even there — train.py:1532
+    # clobbers it with eval_every_n_epoch — so it is not carried over)
     eval_sample_ratio: float = 0.3
     eval_include_patterns: Tuple[str, ...] = (
         "single/nir",
@@ -148,8 +160,9 @@ class TrainingConfig:
     eval_cache_dir: str = "./.eval_cache"
     eval_cache_tag: str = "val_v1"
     eval_batch_size: int = 64
-    inference_batch_size: int = 8
-    best_model_path: str = "./checkpoints/best_model"
+    inference_batch_size: int = 8  # serving-mode embed batch (tools/serve_embed.py)
+    # best-mAP checkpoint location; None = "<save_dir>/best"
+    best_model_path: Optional[str] = None
     tensorboard: bool = True  # scalar export to <log_dir>/tb (tensorboardX)
 
     # ----- TPU-specific (no reference counterpart) -----
@@ -178,6 +191,15 @@ class TrainingConfig:
     def batch_size(self) -> int:
         """P*K, never set manually (reference: configs/config.py:54)."""
         return self.num_ids_per_batch * self.instances_per_id
+
+    @property
+    def accum_steps(self) -> int:
+        """Resolved gradient-accumulation steps: auto-sized so
+        batch_size * accum >= target_effective_batch when not set explicitly
+        (reference: train.py:1481-1488, accum = max(1, 16 // batch))."""
+        if self.gradient_accumulation_steps is not None:
+            return max(1, int(self.gradient_accumulation_steps))
+        return max(1, self.target_effective_batch // max(1, self.batch_size))
 
     @property
     def vision_modalities(self) -> Tuple[str, ...]:

@@ -73,6 +73,7 @@ class ImageTransform:
         flip: bool = True,
         color_jitter: float = 0.2,
         random_erase: float = 0.3,
+        random_crop: bool = True,
     ):
         self.image_size = image_size
         self.train = train
@@ -80,6 +81,7 @@ class ImageTransform:
         self.flip = flip
         self.color_jitter = color_jitter
         self.random_erase = random_erase
+        self.random_crop = random_crop
 
     def set_crop_scale_min(self, value: float):
         """Augmentation relaxation hook (reference: train.py:1630-1644)."""
@@ -90,10 +92,15 @@ class ImageTransform:
     ) -> np.ndarray:
         S = self.image_size
         if self.train and rng is not None:
-            left, top, w, h = _random_resized_crop_params(
-                rng, img.width, img.height, (self.crop_scale_min, 1.0)
-            )
-            img = img.resize((S, S), Image.BILINEAR, box=(left, top, left + w, top + h))
+            if self.random_crop:
+                left, top, w, h = _random_resized_crop_params(
+                    rng, img.width, img.height, (self.crop_scale_min, 1.0)
+                )
+                img = img.resize(
+                    (S, S), Image.BILINEAR, box=(left, top, left + w, top + h)
+                )
+            else:
+                img = img.resize((S, S), Image.BILINEAR)
             if self.flip and rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
             x = np.asarray(img, np.uint8)

@@ -123,6 +123,7 @@ class MultiModalDataset:
             train=self.is_training,
             crop_scale_min=config.crop_scale_min,
             flip=config.random_flip,
+            random_crop=config.random_crop,
             color_jitter=config.color_jitter_strength if config.color_jitter else 0.0,
             random_erase=config.random_erase,
         )

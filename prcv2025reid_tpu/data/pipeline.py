@@ -81,7 +81,15 @@ def _worker_make_samples(args):
 
 
 class HostPipeline:
-    """Sampler -> per-sample load/augment (worker processes) -> collate."""
+    """Sampler -> per-sample load/augment (worker processes) -> collate.
+
+    Multi-host (SURVEY.md §5.8): every process runs the SAME sampler stream
+    (identical seed -> identical global index batches) and materializes only
+    its contiguous slice of each global batch (parallel/mesh.py::
+    process_local_indices semantics); the device feed assembles the global
+    jax.Array from the per-process slices (make_global_batch).  Single
+    process is the degenerate pc=1 path — one code path.
+    """
 
     def __init__(
         self,
@@ -92,6 +100,8 @@ class HostPipeline:
         prefetch: int = 2,
         seed: int = 0,
         modality_dropout: Optional[float] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -102,6 +112,33 @@ class HostPipeline:
         self.epoch = 0
         self.modality_dropout = modality_dropout
         self._pool: Optional[ProcessPoolExecutor] = None
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index() if process_index is None else process_index
+            process_count = jax.process_count() if process_count is None else process_count
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
+
+    def _local_slice(self, indices: List[int]):
+        """(local_indices, local_size, n_real) — this process's contiguous
+        slice of a global batch.  Every process contributes an EQUAL local
+        size (make_array_from_process_local_data needs equal shards); when the
+        global batch does not divide evenly the tail rows are padding (zero
+        masks + label -1, via pad_batch_to in _finalize).  A process whose
+        slice is entirely padding loads one structure-only dummy sample that
+        _finalize crops away."""
+        pc, pi = self.process_count, self.process_index
+        if pc == 1:
+            return list(indices), len(indices), len(indices)
+        per = -(-len(indices) // pc)  # ceil
+        start = pi * per
+        end = min(start + per, len(indices))
+        local = list(indices[start:max(start, end)])
+        n_real = len(local)
+        if not local:
+            local = [indices[0]]
+        return local, per, n_real
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -145,38 +182,61 @@ class HostPipeline:
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def _finalize(self, batch: Dict[str, np.ndarray], local_size: int, n_real: int):
+        from prcv2025reid_tpu.parallel.mesh import pad_batch_to
+
+        if n_real != batch["labels"].shape[0]:
+            batch = {k: v[:n_real] for k, v in batch.items()}  # drop dummy rows
+        if batch["labels"].shape[0] != local_size:
+            batch = pad_batch_to(batch, local_size)
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        index_batches = list(self.sampler)
+        # every process draws the same global stream; the per-batch seed is
+        # offset by the process index only through the slice (augment RNG is
+        # per-sample-position, so local slices must use distinct seeds)
+        global_batches = list(self.sampler)
+        sliced = [self._local_slice(idxs) for idxs in global_batches]
         seeds = [
-            self.seed + self.epoch * 1_000_003 + i for i in range(len(index_batches))
+            self.seed
+            + self.epoch * 1_000_003
+            + i * (self.process_count + 1)
+            + self.process_index
+            for i in range(len(sliced))
         ]
         if self.num_workers == 0:
-            for idxs, s in zip(index_batches, seeds):
-                yield self._make_batch(idxs, s)
+            for (idxs, local_size, n_real), s in zip(sliced, seeds):
+                yield self._finalize(self._make_batch(idxs, s), local_size, n_real)
             return
 
         pool = self._ensure_pool()
         inflight = self.num_workers + self.prefetch
         futures: Dict[int, object] = {}
-        tasks = list(enumerate(zip(index_batches, seeds)))
+        tasks = list(enumerate(zip(sliced, seeds)))
         next_submit = 0
         next_pos = 0
         while next_pos < len(tasks):
             while next_submit < len(tasks) and len(futures) < inflight:
-                pos, (idxs, s) = tasks[next_submit]
+                pos, ((idxs, _, _), s) = tasks[next_submit]
                 futures[pos] = pool.submit(_worker_make_samples, (pos, idxs, s))
                 next_submit += 1
             fut = futures.pop(next_pos)
             _, samples = fut.result()
-            yield collate(samples, self.tokenizer)
+            yield self._finalize(
+                collate(samples, self.tokenizer),
+                sliced[next_pos][1],
+                sliced[next_pos][2],
+            )
             next_pos += 1
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
+def prefetch_to_device(iterator, size: int = 2, sharding=None, mesh=None):
     """Double-buffered host->device transfer.
 
-    With ``sharding`` set (a jax.sharding.Sharding), batches land directly in
-    their data-parallel layout — the multi-host/multi-chip feed path.
+    With ``mesh`` set, each (process-local) batch is assembled into a GLOBAL
+    batch-sharded jax.Array via parallel/mesh.make_global_batch — the
+    multi-host/multi-chip feed path (on one process this reduces to a sharded
+    device_put).  ``sharding`` alone is the single-process sharded put.
     """
     import jax
 
@@ -184,6 +244,10 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     buf: List = []
 
     def put(batch):
+        if mesh is not None:
+            from prcv2025reid_tpu.parallel.mesh import make_global_batch
+
+            return make_global_batch(batch, mesh)
         if sharding is not None:
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)

@@ -34,10 +34,21 @@ class PKBatchSampler:
         allow_id_reuse: bool = True,
         seed: int = 0,
         steps_per_epoch: Optional[int] = None,
+        force_modal_pairs: bool = True,
+        sampling_fallback: bool = True,
+        min_modal_coverage: Optional[float] = None,
     ):
+        """``force_modal_pairs=False`` drops the per-id vis/non-vis split (a
+        plain P x K draw); ``sampling_fallback=False`` disables the soft-id
+        fill and the bucket-swap fallback (short batches are dropped instead)
+        — the knobs the reference declares at configs/config.py:57-59.
+        ``min_modal_coverage`` warns when the strong-id fraction is below it.
+        """
         self.P = int(num_ids_per_batch)
         self.K = int(instances_per_id)
         self.allow_id_reuse = allow_id_reuse
+        self.force_modal_pairs = force_modal_pairs
+        self.sampling_fallback = sampling_fallback
         self.rng = np.random.default_rng(seed)
 
         self.pid_buckets: Dict[int, Dict[str, List[int]]] = {}
@@ -71,6 +82,20 @@ class PKBatchSampler:
             steps_per_epoch if steps_per_epoch is not None else self.nominal_steps
         )
 
+        n_ids = len(self.pid_buckets)
+        coverage = len(self.strong_ids) / max(1, n_ids)
+        if min_modal_coverage is not None and coverage < min_modal_coverage:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cross-modal coverage %.2f below min_modal_coverage=%.2f "
+                "(%d/%d ids pairable) — SDM pair supply will be thin",
+                coverage,
+                min_modal_coverage,
+                len(self.strong_ids),
+                n_ids,
+            )
+
     @property
     def batch_size(self) -> int:
         return self.P * self.K
@@ -85,8 +110,18 @@ class PKBatchSampler:
         rng = self.rng
         strong = self.strong_ids if strong_pool is None else strong_pool
         soft = self.soft_ids if soft_pool is None else soft_pool
+        if not self.force_modal_pairs:
+            # plain P x K: any id with records qualifies
+            pool = sorted(set(strong) | set(soft))
+            if not pool:
+                return []
+            take = self.P if self.allow_id_reuse else min(self.P, len(pool))
+            return list(rng.choice(pool, take, replace=self.allow_id_reuse))
         if len(strong) >= self.P:
             return list(rng.choice(strong, self.P, replace=self.allow_id_reuse))
+        if not self.sampling_fallback:
+            # hard mode: never fill from the soft pool
+            return list(strong)
         need = self.P - len(strong)
         fillers: List[int] = []
         if soft:
@@ -101,8 +136,17 @@ class PKBatchSampler:
         batch: List[int] = []
         for pid in ids:
             d = self.pid_buckets.get(pid, {"vis": [], "nonvis": []})
-            vis_pool = d["vis"] or d["nonvis"]
-            nonvis_pool = d["nonvis"] or d["vis"]
+            if not self.force_modal_pairs:
+                pool = sorted(set(d["vis"]) | set(d["nonvis"]))
+                if pool:
+                    replace = len(pool) < self.K
+                    batch.extend(int(x) for x in rng.choice(pool, self.K, replace=replace))
+                continue
+            if self.sampling_fallback:
+                vis_pool = d["vis"] or d["nonvis"]
+                nonvis_pool = d["nonvis"] or d["vis"]
+            else:
+                vis_pool, nonvis_pool = d["vis"], d["nonvis"]
             k_vis = self.K // 2
             k_nonvis = self.K - k_vis
             for pool, k in ((vis_pool, k_vis), (nonvis_pool, k_nonvis)):

@@ -28,6 +28,7 @@ by a real CMC@1/5/10 (SURVEY.md §2.7: reproduce intent, not bugs).
 from __future__ import annotations
 
 import fnmatch
+import functools
 import hashlib
 import itertools
 import os
@@ -112,13 +113,14 @@ def embed_samples(
 # ----- vectorized ranking metrics -----
 
 
+@functools.partial(jax.jit, static_argnames=("topk_cmc",))
 def _chunk_stats(
     q: jnp.ndarray,
     q_pids: jnp.ndarray,
     g: jnp.ndarray,
     g_pids: jnp.ndarray,
     exclude: Optional[jnp.ndarray],
-    topk_cmc: Sequence[int],
+    topk_cmc: Tuple[int, ...],
 ):
     """Per-query (ap, has_rel, top1_hit, cmc hits) for one query chunk."""
     sim = jnp.dot(q, g.T, precision=jax.lax.Precision.HIGHEST)
@@ -150,6 +152,7 @@ def compute_retrieval_metrics(
     exclude: Optional[np.ndarray] = None,  # [Nq, Ng] bool, True = drop pair
     topk_cmc: Sequence[int] = (1, 5, 10),
     query_chunk: int = 1024,
+    mesh=None,
 ) -> Dict[str, float]:
     """mAP / top-1 / CMC, computed on device in query chunks.
 
@@ -157,25 +160,60 @@ def compute_retrieval_metrics(
     gallery is ~45k images (BASELINE.md), so a full [Nq, Ng] fp32 similarity
     matrix does not fit; the reference loops queries one by one in Python
     (train.py:450-479), this vectorizes per chunk instead.
+
+    With ``mesh``, ranking runs sharded over the device mesh: queries are
+    sharded along the data axis (every per-query statistic — argsort, AP,
+    CMC — is row-independent, so query sharding gives an exact n_dev-way
+    split with bit-identical results), the gallery is replicated.  The
+    gallery-sharded top-k path (parallel/ranking.sharded_topk, used by
+    submission export) is the right shape for top-k; full-ranking AP needs
+    every gallery rank per query, which query sharding provides without a
+    cross-shard merge.  Per-chunk padding rows are dropped on the host.
     """
+    topk_cmc = tuple(topk_cmc)
     q = jnp.asarray(q_feats, jnp.float32)
     g = jnp.asarray(g_feats, jnp.float32)
     g_p = jnp.asarray(g_pids)
     Nq = q.shape[0]
 
+    q_sharding = g_sharding = None
+    n_dev = 1
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from prcv2025reid_tpu.parallel.mesh import DATA_AXIS
+
+        n_dev = mesh.devices.size
+        q_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        g_sharding = NamedSharding(mesh, P())
+        g = jax.device_put(g, g_sharding)
+        g_p = jax.device_put(g_p, g_sharding)
+
     ap_l, hr_l, t1_l = [], [], []
     cmc_l = {k: [] for k in topk_cmc}
     for start in range(0, Nq, query_chunk):
         sl = slice(start, min(start + query_chunk, Nq))
+        qc = q[sl]
+        qp = jnp.asarray(q_pids[sl])
         ex = jnp.asarray(exclude[sl]) if exclude is not None else None
-        ap, hr, t1, cmc_hits = _chunk_stats(
-            q[sl], jnp.asarray(q_pids[sl]), g, g_p, ex, topk_cmc
-        )
-        ap_l.append(np.asarray(ap))
-        hr_l.append(np.asarray(hr))
-        t1_l.append(np.asarray(t1))
+        n_real = qc.shape[0]
+        pad = (-n_real) % n_dev
+        if pad:
+            qc = jnp.concatenate([qc, jnp.repeat(qc[-1:], pad, axis=0)])
+            qp = jnp.concatenate([qp, jnp.repeat(qp[-1:], pad, axis=0)])
+            if ex is not None:
+                ex = jnp.concatenate([ex, jnp.repeat(ex[-1:], pad, axis=0)])
+        if q_sharding is not None:
+            qc = jax.device_put(qc, q_sharding)
+            qp = jax.device_put(qp, q_sharding)
+            if ex is not None:
+                ex = jax.device_put(ex, q_sharding)
+        ap, hr, t1, cmc_hits = _chunk_stats(qc, qp, g, g_p, ex, topk_cmc)
+        ap_l.append(np.asarray(ap)[:n_real])
+        hr_l.append(np.asarray(hr)[:n_real])
+        t1_l.append(np.asarray(t1)[:n_real])
         for k, h in zip(topk_cmc, cmc_hits):
-            cmc_l[k].append(np.asarray(h))
+            cmc_l[k].append(np.asarray(h)[:n_real])
 
     ap = np.concatenate(ap_l)
     has_rel = np.concatenate(hr_l)
@@ -236,13 +274,16 @@ def evaluate_protocol(
     seed: int = 0,
     embed_factory: Optional[Callable[[Tuple[str, ...]], Callable]] = None,
     sharding=None,
+    mesh=None,
 ) -> Dict:
     """Run the MM protocol; returns {map_single, map_quad, map_avg2, detail,
     cmc1/5/10} like validate_competition_style (train.py:503-639).
 
     ``embed_factory(modalities) -> embed_fn`` enables combo-specialized
     embedding graphs (only the needed towers compile/run); falls back to the
-    generic ``embed_fn`` when absent."""
+    generic ``embed_fn`` when absent.  ``sharding`` shards the EMBEDDING
+    batches over the mesh; ``mesh`` additionally shards the RANKING
+    (similarity matmul + per-query stats) — see compute_retrieval_metrics."""
     rng = np.random.default_rng(seed)
     gallery_indices = [i for i, r in enumerate(dataset.records) if r.vis]
 
@@ -293,7 +334,9 @@ def evaluate_protocol(
             q_idx = np.asarray(q_indices)[:, None]
             g_idx = np.asarray(gallery_indices)[None, :]
             exclude = q_idx == g_idx
-        detail[name] = compute_retrieval_metrics(q_feats, q_pids, g_feats, g_pids, exclude)
+        detail[name] = compute_retrieval_metrics(
+            q_feats, q_pids, g_feats, g_pids, exclude, mesh=mesh
+        )
 
     singles = [detail[f"single/{m}"]["mAP"] for m in NONVIS if f"single/{m}" in detail]
     map_single = float(np.mean(singles)) if singles else 0.0
@@ -337,12 +380,19 @@ def export_submission_csv(
     top_k: int = 100,
     seed: int = 0,
     embed_factory: Optional[Callable[[Tuple[str, ...]], Callable]] = None,
+    mesh=None,
 ):
     """Write the competition CSV: query_key,ranked_gallery_ids
     (tools/eval_mm_protocol.py:595-649).  query_key = pid|mods|anchor-stem;
     gallery ids are anchor-image stems ranked by similarity, top-100,
     space-joined.  Ties break deterministically by gallery order (SURVEY.md §7
-    hard part 6)."""
+    hard part 6).
+
+    With ``mesh``, ranking is GALLERY-sharded over the device mesh
+    (parallel/ranking.sharded_topk: per-shard lax.top_k + deterministic
+    merge) — the BASELINE.json "sharded XLA matmul+top-k over the device
+    mesh" path, replacing the reference's per-query loop
+    (train.py:450-479)."""
 
     def _fn(mods: Tuple[str, ...]) -> Callable:
         return embed_factory(mods) if embed_factory is not None else embed_fn
@@ -369,17 +419,24 @@ def export_submission_csv(
             _fn(mods), variables, dataset, q_indices, tokenizer, batch_size,
             modalities=mods, seed=seed,
         )
-        # ranking on device: lax.top_k per query chunk (descending, lower
-        # index wins ties) — no full host argsort of the [Nq, Ng] matrix
+        # ranking on device: top-k per query chunk (descending, lower index
+        # wins ties) — no full host argsort of the [Nq, Ng] matrix.  With a
+        # mesh the gallery is sharded and per-shard top-ks merge on device.
         k_eff = min(top_k, g_feats.shape[0])
         order_chunks = []
         for start in range(0, len(q_feats), 1024):
-            sims_c = jnp.dot(
-                jnp.asarray(q_feats[start : start + 1024]),
-                jnp.asarray(g_feats).T,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            _, idx = jax.lax.top_k(sims_c, k_eff)
+            qc = jnp.asarray(q_feats[start : start + 1024])
+            if mesh is not None and mesh.devices.size > 1:
+                from prcv2025reid_tpu.parallel.ranking import sharded_topk
+
+                _, idx = sharded_topk(qc, jnp.asarray(g_feats), k_eff, mesh)
+            else:
+                sims_c = jnp.dot(
+                    qc,
+                    jnp.asarray(g_feats).T,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                _, idx = jax.lax.top_k(sims_c, k_eff)
             order_chunks.append(np.asarray(idx))
         order = np.concatenate(order_chunks)
         for qi, record_idx in enumerate(q_indices):

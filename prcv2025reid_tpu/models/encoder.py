@@ -37,6 +37,7 @@ class UnifiedEncoder(nn.Module):
     context_length: int = 77
     lora_rank: int = 4
     lora_alpha: float = 1.0
+    enable_mer: bool = True
     drop_path: float = 0.0
     modalities: Tuple[str, ...] = VISION_MODALITIES
     dtype: Optional[jnp.dtype] = None
@@ -63,6 +64,7 @@ class UnifiedEncoder(nn.Module):
             context_length=config.text_context_length,
             lora_rank=config.mer_lora_rank,
             lora_alpha=config.mer_lora_alpha,
+            enable_mer=config.enable_mer,
             drop_path=config.drop_path,
             modalities=config.vision_modalities,
             dtype=dtype if dtype is not None else jnp.dtype(config.compute_dtype),
@@ -82,6 +84,7 @@ class UnifiedEncoder(nn.Module):
             fusion_dim=self.fusion_dim,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            enable_mer=self.enable_mer,
             drop_path=self.drop_path,
             modalities=self.modalities,
             dtype=self.dtype,

@@ -119,6 +119,10 @@ class MERDense(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    # enable=False (config.enable_mer) bypasses the LoRA delta entirely —
+    # shared-trunk-only compute; the adapter params stay declared so the tree
+    # (and checkpoints) are interchangeable with the routed model.
+    enable: bool = True
 
     @nn.compact
     def __call__(
@@ -149,7 +153,9 @@ class MERDense(nn.Module):
         dt = self.dtype or x.dtype
         ids = tuple(expert_ids)
         xa = x.astype(dt)
-        if fold:
+        if not self.enable:
+            y = xa @ kernel.astype(dt)
+        elif fold:
             w_eff = effective_weights(
                 kernel, lora_a, lora_b, ids, self.alpha / self.rank, dt
             )
@@ -181,6 +187,7 @@ class MERAttention(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    enable: bool = True  # False = shared-trunk-only (config.enable_mer)
 
     @nn.compact
     def __call__(
@@ -199,7 +206,12 @@ class MERAttention(nn.Module):
         ]
         b_qkv = jnp.concatenate([p[1].astype(dt) for p in proj_params], axis=0)
         xa = x.astype(dt)
-        if fold:
+        if not self.enable:
+            w_pack = jnp.concatenate(
+                [k_.astype(dt) for k_, _, _, _ in proj_params], axis=1
+            )  # [D, 3D]
+            qkv = xa @ w_pack + b_qkv
+        elif fold:
             w_qkv = jnp.concatenate(
                 [effective_weights(k_, la, lb, ids, scale, dt)
                  for k_, _, la, lb in proj_params],
@@ -260,6 +272,7 @@ class MERAttention(nn.Module):
             alpha=self.alpha,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            enable=self.enable,
             name="out_proj",
         )(out, ids, fold=fold)
 
@@ -282,6 +295,7 @@ class MERMlp(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     impl: str = "auto"
+    enable: bool = True  # False = shared-trunk-only (config.enable_mer)
 
     @nn.compact
     def __call__(
@@ -293,8 +307,8 @@ class MERMlp(nn.Module):
             from prcv2025reid_tpu.ops.attention import _pallas_available
 
             impl = "pallas" if _pallas_available() else "xla"
-        if not fold:
-            impl = "xla"  # fused kernel requires folded weights
+        if not fold or not self.enable:
+            impl = "xla"  # fused kernel requires folded, routed weights
 
         if impl in ("pallas", "pallas_interpret"):
             dt = self.dtype or x.dtype
@@ -330,6 +344,7 @@ class MERMlp(nn.Module):
             alpha=self.alpha,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            enable=self.enable,
         )
         h = MERDense(self.mlp_dim, name="fc1", **mer)(x, expert_ids, fold=fold)
         h = jax.nn.gelu(h, approximate=False)
@@ -399,6 +414,7 @@ class MERBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
+    enable_mer: bool = True  # config.enable_mer (reference: configs/config.py:27)
 
     def setup(self):
         self.ln1 = LNParams(self.embed_dim, self.param_dtype, name="ln1")
@@ -411,6 +427,7 @@ class MERBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
+            enable=self.enable_mer,
             name="attn",
         )
         self.mlp = MERMlp(
@@ -421,6 +438,7 @@ class MERBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             impl=self.mlp_impl,
+            enable=self.enable_mer,
             name="mlp",
         )
 

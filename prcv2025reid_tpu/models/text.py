@@ -33,6 +33,13 @@ class TextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``pad_bias`` exists for callers that need padding-masked attention;
+        TextTower deliberately passes None: under CAUSAL masking position i
+        attends only to positions <= i, and the pooled output is read at the
+        EOT token (= the last real token), so padded positions (all > EOT)
+        can never influence it.  HF's CLIPTextModel relies on the same
+        invariant when attention_mask is all-ones after right-padding — the
+        oracle parity test (tests/test_reference_parity.py) pins it."""
         B, S, D = x.shape
         head_dim = D // self.num_heads
         ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)

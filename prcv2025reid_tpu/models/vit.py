@@ -88,6 +88,7 @@ class MERVisionTransformer(nn.Module):
     fusion_dim: int = 512
     lora_rank: int = 4
     lora_alpha: float = 1.0
+    enable_mer: bool = True  # config.enable_mer (reference: configs/config.py:27)
     drop_path: float = 0.0
     modalities: Tuple[str, ...] = VISION_MODALITIES
     dtype: Optional[jnp.dtype] = None
@@ -137,6 +138,7 @@ class MERVisionTransformer(nn.Module):
                 param_dtype=self.param_dtype,
                 attn_impl=self.attn_impl,
                 mlp_impl=self.mlp_impl,
+                enable_mer=self.enable_mer,
                 name=f"block_{i}",
             )
             for i in range(self.num_layers)

@@ -48,7 +48,19 @@ def create_mesh(
         while n > 1 and batch_size % n != 0:
             n -= 1
         devs = devs[:n]
-    return Mesh(np.asarray(devs).reshape(len(devs)), (DATA_AXIS,))
+    # the leading axis name is a cross-module contract: every PartitionSpec in
+    # parallel/ + the train step names it DATA_AXIS
+    axis_names = tuple(config.mesh_axis_names) if config is not None else (DATA_AXIS,)
+    if not axis_names or axis_names[0] != DATA_AXIS:
+        raise ValueError(
+            f"mesh_axis_names must start with {DATA_AXIS!r}, got {axis_names!r}"
+        )
+    if len(axis_names) > 1:
+        raise ValueError(
+            "only a 1-D data-parallel mesh is supported (sequence length is "
+            "197/77 tokens — SURVEY.md §5.7: scale is batch/gallery, not TP/SP)"
+        )
+    return Mesh(np.asarray(devs).reshape(len(devs)), axis_names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

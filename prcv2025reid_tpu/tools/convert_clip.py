@@ -43,10 +43,20 @@ def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a CLIP checkpoint from a local HF snapshot dir / file.
 
     Supports: a directory containing model.safetensors or pytorch_model.bin,
-    a direct .safetensors / .bin / .npz path.
+    a direct .safetensors / .bin / .npz path, or an HF repo id (e.g.
+    ``openai/clip-vit-base-patch16`` = config.clip_model_name; resolved via
+    transformers from the LOCAL cache only — the reference downloads at
+    models/clip_backbone.py:170, but this environment has no egress).
     """
     import os
 
+    if not os.path.exists(path) and "/" in path and not path.endswith(
+        (".safetensors", ".bin", ".npz")
+    ):
+        import transformers
+
+        model = transformers.CLIPModel.from_pretrained(path, local_files_only=True)
+        return state_dict_from_torch_model(model)
     if os.path.isdir(path):
         for name in ("model.safetensors", "pytorch_model.bin"):
             cand = os.path.join(path, name)

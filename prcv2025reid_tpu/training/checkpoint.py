@@ -63,6 +63,27 @@ def restore_checkpoint(
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+    # ring-buffer leaves are sized by the WRITER's config (steps_per_epoch /
+    # adaptive_clip_window); a reader that only wants params (eval CLI) builds
+    # its template with defaults — adopt the saved shapes for those leaves.
+    try:
+        meta_tree = ckptr.metadata(os.path.join(path, "state")).item_metadata.tree
+    except Exception:
+        meta_tree = None
+    if meta_tree is not None:
+        fixes = {}
+        for leaf_name in ("metric_ring", "grad_norm_hist"):
+            try:
+                saved_shape = tuple(meta_tree[leaf_name].shape)
+            except Exception:
+                continue
+            cur = getattr(target, leaf_name)
+            if saved_shape != tuple(cur.shape):
+                fixes[leaf_name] = jax.ShapeDtypeStruct(
+                    saved_shape, cur.dtype, sharding=getattr(cur, "sharding", None)
+                )
+        if fixes:
+            target = target.replace(**fixes)
     state = ckptr.restore(os.path.join(path, "state"), target)
     with open(os.path.join(path, HOST_STATE_FILE)) as f:
         host_state = json.load(f)

@@ -90,6 +90,13 @@ class PairCoverageMonitor:
         self.values.append(cov)
         return cov
 
+    def update_value(self, cov: float) -> float:
+        """Feed a pre-computed per-batch coverage (the in-graph metric ring
+        path — train_step.batch_pair_coverage computes the same statistic on
+        device every step)."""
+        self.values.append(float(cov))
+        return float(cov)
+
     @property
     def moving_average(self) -> float:
         return float(np.mean(self.values)) if self.values else 0.0
@@ -97,6 +104,50 @@ class PairCoverageMonitor:
     @property
     def healthy(self) -> bool:
         return self.moving_average >= self.target
+
+
+class FeatureNormMonitor:
+    """BN-feature norm health check with L2-aware thresholds
+    (reference: train.py:1160-1183).
+
+    The reference sniffs whether BNNeck output is L2-normalized by checking
+    SAMPLE 0's norm against [0.8, 1.2]; if so it warns when the batch-MEAN
+    norm exceeds 2.0, otherwise when it exceeds 15.0 — both only after
+    epoch 5.  (With the x8.0 L2 rescale of models/model.py:219 the norm sits
+    near 8, taking the non-normalized branch.)  The train step exports both
+    statistics in-graph (``bn_feat_norm_s0`` / ``bn_feat_norm``).
+    """
+
+    def __init__(
+        self,
+        l2_band=(0.8, 1.2),
+        l2_threshold: float = 2.0,
+        raw_threshold: float = 15.0,
+        min_epoch: int = 5,
+    ):
+        self.l2_band = l2_band
+        self.l2_threshold = l2_threshold
+        self.raw_threshold = raw_threshold
+        self.min_epoch = min_epoch
+        self.warnings = 0
+
+    def check(self, sample_norm: float, mean_norm: float, epoch: int):
+        if epoch <= self.min_epoch or not math.isfinite(mean_norm):
+            return None
+        using_l2 = self.l2_band[0] <= sample_norm <= self.l2_band[1]
+        if using_l2 and mean_norm > self.l2_threshold:
+            self.warnings += 1
+            return (
+                f"BNNeck feature norm abnormal (L2-normalized): {mean_norm:.2f} "
+                f"— should be ~1.0 (reference train.py:1172-1175)"
+            )
+        if not using_l2 and mean_norm > self.raw_threshold:
+            self.warnings += 1
+            return (
+                f"BNNeck feature norm too large (non-normalized): {mean_norm:.2f} "
+                f"— regularization not engaging (reference train.py:1176-1179)"
+            )
+        return None
 
 
 class CEDiagnostics:

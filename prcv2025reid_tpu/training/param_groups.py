@@ -31,8 +31,15 @@ GROUPS = (
 )
 
 
-def label_for_path(path: Tuple[str, ...], freeze_backbone: bool) -> str:
-    """Map a param-tree path to its LR group (models/model.py:661-729)."""
+def label_for_path(
+    path: Tuple[str, ...], freeze_backbone: bool, freeze_text_backbone: bool = False
+) -> str:
+    """Map a param-tree path to its LR group (models/model.py:661-729).
+
+    ``freeze_text_backbone`` freezes the text tower independently of the
+    vision trunk (reference: models/clip_backbone.py:213-215) — the tower
+    only, not text_proj.
+    """
     joined = "/".join(str(p) for p in path)
     if "lora_A" in joined or "lora_B" in joined:
         return "mer_loras"
@@ -40,6 +47,8 @@ def label_for_path(path: Tuple[str, ...], freeze_backbone: bool) -> str:
         return "classification_head"
     if "null_tokens" in joined or joined.startswith(("bn_neck", "fusion", "sdm_module")):
         return "other_modules"
+    if freeze_text_backbone and joined.startswith("encoder/text/"):
+        return "frozen"
     if freeze_backbone:
         return "frozen"
     if "patch_embed_" in joined:
@@ -50,7 +59,7 @@ def label_for_path(path: Tuple[str, ...], freeze_backbone: bool) -> str:
     return "clip_backbone"
 
 
-def build_label_tree(params, freeze_backbone: bool):
+def build_label_tree(params, freeze_backbone: bool, freeze_text_backbone: bool = False):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def label(path, _):
@@ -59,7 +68,7 @@ def build_label_tree(params, freeze_backbone: bool):
         )
         if keys and keys[0] == "params":
             keys = keys[1:]
-        return label_for_path(keys, freeze_backbone)
+        return label_for_path(keys, freeze_backbone, freeze_text_backbone)
 
     return jax.tree_util.tree_map_with_path(label, params)
 
@@ -76,25 +85,78 @@ def group_learning_rates(config: TrainingConfig) -> Dict[str, float]:
     }
 
 
-def build_optimizer(
-    config: TrainingConfig,
-    params,
-    steps_per_epoch: int,
-) -> optax.GradientTransformation:
-    """AdamW with per-group LRs x a shared epoch-level warmup-cosine
-    multiplier (ratios preserved, reference: train.py:1250-1262,1427-1458).
+def plateau_scale_transform() -> optax.GradientTransformation:
+    """Stateful update scale for the 'plateau' scheduler.
 
-    Gradient accumulation (train.py:1481-1488) is layered on with
-    optax.MultiSteps when configured.
+    adamw applies lr to BOTH the adam step and the decoupled weight decay, so
+    post-scaling the update by s is exactly lr*s.  The scale lives in the
+    optimizer state (leaf name ``plateau_scale``) so the host can write eval-
+    mAP-driven drops into it between epochs (reference: train.py:1705-1710
+    steps ReduceLROnPlateau on map_avg2).
+    """
+
+    def init(params):
+        del params
+        import jax.numpy as jnp
+
+        return {"plateau_scale": jnp.ones((), jnp.float32)}
+
+    def update(updates, state, params=None):
+        del params
+        s = state["plateau_scale"]
+        return jax.tree.map(lambda u: u * s, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Return opt_state with every ``plateau_scale`` leaf set to ``scale``."""
+    import jax.numpy as jnp
+
+    def fn(path, leaf):
+        key = getattr(path[-1], "key", None) if path else None
+        if key == "plateau_scale":
+            return jnp.full_like(leaf, scale)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fn, opt_state)
+
+
+def get_plateau_scale(opt_state) -> float:
+    found = []
+
+    def fn(path, leaf):
+        key = getattr(path[-1], "key", None) if path else None
+        if key == "plateau_scale":
+            found.append(leaf)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(fn, opt_state)
+    if not found:
+        raise ValueError("opt_state has no plateau_scale leaf (scheduler != 'plateau'?)")
+    return float(found[0])
+
+
+def group_schedules(config: TrainingConfig, steps_per_epoch: int) -> Dict[str, Callable]:
+    """Per-group optax LR schedules (optimizer-update count -> lr).
+
+    MultiSteps advances the inner adamw count once per EFFECTIVE update, so
+    the epoch is derived from updates-per-epoch = ceil(batches / accum).
+    classification_head goes flat at head_learning_rate from 1-based epoch >=
+    head_lr_warmup_epochs (reference train.py:1601-1612 pins the head group at
+    every epoch start from epoch 2 — net effect is a flat head LR there).
     """
     from prcv2025reid_tpu.training.schedulers import lr_multiplier_jnp
 
     base_lrs = group_learning_rates(config)
+    updates_per_epoch = max(1, -(-steps_per_epoch // config.accum_steps))  # ceil
 
-    def make_schedule(base_lr: float):
+    def make_schedule(base_lr: float, flat_after: int | None = None):
         def schedule(step):
-            epoch = step // max(1, steps_per_epoch)
-            return base_lr * lr_multiplier_jnp(
+            import jax.numpy as jnp
+
+            epoch = step // updates_per_epoch
+            lr = base_lr * lr_multiplier_jnp(
                 epoch,
                 scheduler=config.scheduler,
                 num_epochs=config.num_epochs,
@@ -104,8 +166,45 @@ def build_optimizer(
                 step_gamma=config.step_lr_gamma,
                 milestones=tuple(config.multistep_milestones),
             )
+            if flat_after is not None:
+                # epoch here is 0-based; the reference's pin applies from
+                # 1-based epoch >= head_lr_warmup_epochs
+                lr = jnp.where(epoch + 1 >= flat_after, base_lr, lr)
+            return lr
 
         return schedule
+
+    return {
+        g: make_schedule(
+            base_lrs[g],
+            config.head_lr_warmup_epochs if g == "classification_head" else None,
+        )
+        for g in GROUPS
+        if g != "frozen"
+    }
+
+
+def build_optimizer(
+    config: TrainingConfig,
+    params,
+    steps_per_epoch: int,
+) -> optax.GradientTransformation:
+    """AdamW with per-group LRs x a shared epoch-level schedule multiplier
+    (ratios preserved, reference: train.py:1250-1262,1427-1458).
+
+    - Gradient accumulation via optax.MultiSteps, auto-sized to
+      target_effective_batch (config.accum_steps; reference train.py:1481-1488).
+      MultiSteps advances the inner adamw count once per EFFECTIVE update, so
+      the schedule's epoch is derived from updates-per-epoch, not batches.
+    - classification_head: flat head_learning_rate from epoch >=
+      head_lr_warmup_epochs (reference train.py:1601-1612 pins the head group
+      to 3e-3 at every epoch start from epoch 2 — net effect is a flat head
+      LR; before that the shared warmup ramp applies).
+    - scheduler='plateau' appends a host-written update scale
+      (plateau_scale_transform).
+    """
+    schedules = group_schedules(config, steps_per_epoch)
+    accum = config.accum_steps
 
     transforms = {}
     for g in GROUPS:
@@ -113,14 +212,16 @@ def build_optimizer(
             transforms[g] = optax.set_to_zero()
         else:
             transforms[g] = optax.adamw(
-                learning_rate=make_schedule(base_lrs[g]),
+                learning_rate=schedules[g],
                 weight_decay=config.weight_decay,
             )
 
-    labels = build_label_tree(params, config.freeze_backbone)
+    labels = build_label_tree(params, config.freeze_backbone, config.freeze_text_backbone)
     tx = optax.multi_transform(transforms, labels)
-    if config.gradient_accumulation_steps > 1:
-        tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
+    if config.scheduler == "plateau":
+        tx = optax.chain(tx, plateau_scale_transform())
+    if accum > 1:
+        tx = optax.MultiSteps(tx, accum)
     return tx
 
 

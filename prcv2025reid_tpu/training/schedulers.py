@@ -27,6 +27,13 @@ class SDMWeightScheduler:
     final_weight: float = 0.5
     max_weight: float = 0.5
     current_weight: float = 0.0
+    # single-authority escalation flags: the reference mutates current_weight
+    # from three places and lets the next epoch's stepwise recompute clobber
+    # them (models/sdm_scheduler.py:62-107 + train.py:1614-1628); here
+    # get_weight() is the one authority and increase/decrease set flags it
+    # honors instead of racing it.
+    boosted: bool = False
+    suppressed: bool = False
 
     @classmethod
     def from_config(cls, c: TrainingConfig) -> "SDMWeightScheduler":
@@ -36,6 +43,9 @@ class SDMWeightScheduler:
             initial_weight=c.sdm_weight_initial,
             final_weight=c.sdm_weight_final,
             max_weight=c.sdm_weight_max,
+            # the live weight before the first epoch-driven update
+            # (reference: models/model.py:294 seeds it from config)
+            current_weight=c.contrastive_weight,
         )
 
     def get_weight(self, epoch: int) -> float:
@@ -45,6 +55,10 @@ class SDMWeightScheduler:
         else:
             idx = min(epoch - self.warmup_epochs - 1, len(self.schedule) - 1)
             weight = self.schedule[idx] if 0 <= idx < len(self.schedule) else self.final_weight
+            if self.boosted:
+                weight = self.max_weight
+            elif self.suppressed:
+                weight = min(weight, self.initial_weight)
         self.current_weight = weight
         return weight
 
@@ -60,22 +74,32 @@ class SDMWeightScheduler:
         return True
 
     def increase_to_max(self) -> bool:
+        self.suppressed = False
         if self.current_weight < self.max_weight:
+            self.boosted = True
             self.current_weight = self.max_weight
             return True
         return False
 
     def decrease_weight(self, reason: str = "") -> bool:
+        self.boosted = False
+        self.suppressed = True
         if self.current_weight > self.initial_weight:
             self.current_weight = self.initial_weight
             return True
         return False
 
     def state_dict(self) -> Dict:
-        return {"current_weight": self.current_weight}
+        return {
+            "current_weight": self.current_weight,
+            "boosted": self.boosted,
+            "suppressed": self.suppressed,
+        }
 
     def load_state_dict(self, s: Dict):
         self.current_weight = s["current_weight"]
+        self.boosted = s.get("boosted", False)
+        self.suppressed = s.get("suppressed", False)
 
 
 @dataclass
@@ -99,7 +123,10 @@ class SDMTemperatureScheduler:
             final_temp=c.sdm_final_temperature,
             fallback_temp=c.sdm_fallback_temperature,
             warmup_epochs=c.sdm_temp_warmup_epochs,
-            current_temp=c.sdm_init_temperature,
+            # the live tau before the scheduler's first epoch-driven update:
+            # the reference's loss uses config.sdm_temperature directly
+            # (models/model.py:288,616) until the scheduler takes over
+            current_temp=c.sdm_temperature,
         )
 
     def get_temperature(self, epoch: int) -> float:
@@ -154,6 +181,15 @@ class SDMScheduler:
     def get_parameters(
         self, epoch: int, train_metrics: Dict, val_metrics: Optional[Dict] = None
     ) -> Tuple[float, float]:
+        """THE single authority for the live (weight, temperature) pair —
+        callers must not re-derive either value (the reference computes the
+        weight twice per epoch and lets the second read clobber the first,
+        train.py:1614-1628; rationalized here per SURVEY.md §2.7 intent).
+
+        Without metrics (first epoch / resume edge) the current values hold
+        (reference: models/sdm_scheduler.py get_parameters no-ops, and
+        train.py:841 falls back to config.contrastive_weight — which seeds
+        ``current_weight``)."""
         if not train_metrics or "stability_score" not in train_metrics:
             return (
                 self.weight_scheduler.current_weight,
@@ -186,6 +222,58 @@ class SDMScheduler:
     def load_state_dict(self, s: Dict):
         self.weight_scheduler.load_state_dict(s["weight"])
         self.temp_scheduler.load_state_dict(s["temp"])
+
+
+@dataclass
+class PlateauScheduler:
+    """ReduceLROnPlateau on eval mAP (reference: train.py:1504-1510 —
+    mode='max', factor=0.5, patience=8, threshold=0.001 relative,
+    min_lr = base_lr * 0.001).
+
+    Host-side: ``step(map_avg2)`` returns the live LR *scale* in (0, 1];
+    the trainer writes it into the optimizer's ``plateau_scale`` state leaf
+    (training/param_groups.py::set_plateau_scale) between epochs.
+    """
+
+    factor: float = 0.5
+    patience: int = 8
+    threshold: float = 0.001  # relative, mode 'max' (torch default threshold_mode)
+    min_scale: float = 0.001
+    best: float = float("-inf")
+    num_bad_epochs: int = 0
+    scale: float = 1.0
+
+    @classmethod
+    def from_config(cls, c: TrainingConfig) -> "PlateauScheduler":
+        return cls(
+            factor=c.plateau_factor,
+            patience=c.plateau_patience,
+            threshold=c.plateau_threshold,
+            min_scale=c.plateau_min_scale,
+        )
+
+    def step(self, metric: float) -> float:
+        if metric > self.best * (1.0 + self.threshold) or self.best == float("-inf"):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.scale = max(self.min_scale, self.scale * self.factor)
+            self.num_bad_epochs = 0
+        return self.scale
+
+    def state_dict(self) -> Dict:
+        return {
+            "best": self.best,
+            "num_bad_epochs": self.num_bad_epochs,
+            "scale": self.scale,
+        }
+
+    def load_state_dict(self, s: Dict):
+        self.best = s["best"]
+        self.num_bad_epochs = s["num_bad_epochs"]
+        self.scale = s["scale"]
 
 
 def warmup_cosine_multiplier(
@@ -232,12 +320,17 @@ def lr_multiplier_jnp(
     """Traced epoch -> LR multiplier for every scheduler the reference's
     select supports statically (train.py:1490-1524): cosine (warmup+cosine),
     step (gamma every N epochs after warmup), multistep (gamma at
-    milestones).  'plateau' reduces on host feedback and maps onto the SDM
-    stability machinery instead (SURVEY.md §5.3)."""
+    milestones), plateau (warmup then flat — the plateau *drops* come from
+    host feedback via PlateauScheduler + set_plateau_scale, since eval mAP
+    cannot be a function of the optimizer step count)."""
     import jax.numpy as jnp
 
-    if scheduler in ("cosine", "plateau"):
+    if scheduler == "cosine":
         return warmup_cosine_multiplier_jnp(epoch, num_epochs, warmup_epochs, floor)
+    if scheduler == "plateau":
+        epoch = jnp.asarray(epoch, jnp.float32)
+        warm = _warmup_ramp_jnp(epoch, warmup_epochs, floor)
+        return jnp.where(epoch < warmup_epochs, warm, 1.0)
     epoch = jnp.asarray(epoch, jnp.float32)
     warm = _warmup_ramp_jnp(epoch, warmup_epochs, floor)
     if scheduler == "step":

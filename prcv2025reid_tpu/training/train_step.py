@@ -27,6 +27,10 @@ from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel, compute_loss
 CLIP_WINDOW = 10
 
 
+# metric-ring channels (per-step in-graph monitor feed, fetched once per epoch)
+RING_CHANNELS = ("total_loss", "ce_loss", "sdm_loss", "pair_coverage")
+
+
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -36,19 +40,58 @@ class TrainState(flax.struct.PyTreeNode):
     grad_norm_hist: jnp.ndarray  # [CLIP_WINDOW] ring buffer
     grad_norm_count: jnp.ndarray  # scalar int32
     skipped_total: jnp.ndarray  # scalar int32, exact in-graph skip counter
+    # [ring_size, len(RING_CHANNELS)] per-step metric ring.  The reference
+    # feeds its MAD spike detector / pair-coverage monitor EVERY batch
+    # (train.py:933-956); syncing the host every step would stall the TPU, so
+    # each step writes one row here (row = step % ring_size) and the trainer
+    # fetches the whole ring once per epoch.  Sized to steps_per_epoch.
+    metric_ring: jnp.ndarray
 
     @classmethod
-    def create(cls, params, batch_stats, tx: optax.GradientTransformation, rng):
+    def create(
+        cls,
+        params,
+        batch_stats,
+        tx: optax.GradientTransformation,
+        rng,
+        ring_size: int = 1,
+        clip_window: int = CLIP_WINDOW,
+    ):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
             opt_state=tx.init(params),
             rng=rng,
-            grad_norm_hist=jnp.zeros((CLIP_WINDOW,), jnp.float32),
+            grad_norm_hist=jnp.zeros((max(1, clip_window),), jnp.float32),
             grad_norm_count=jnp.zeros((), jnp.int32),
             skipped_total=jnp.zeros((), jnp.int32),
+            metric_ring=jnp.zeros((max(1, ring_size), len(RING_CHANNELS)), jnp.float32),
         )
+
+
+def batch_pair_coverage(
+    pids: jnp.ndarray, image_mask: jnp.ndarray, text_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Fraction of distinct batch identities with BOTH a valid vis and a valid
+    non-vis instance — the reference's pair-coverage health line computed
+    in-graph with static shapes (intent of train.py:901-931; the reference's
+    own 'rgb' string compare never matches, SURVEY.md §2.7).
+
+    Distinct-id statistics without unique(): weight each sample by
+    1/count(pid) so every identity contributes exactly once.
+    """
+    eq = (pids[:, None] == pids[None, :]).astype(jnp.float32)  # [B, B]
+    cnt = eq.sum(axis=1)  # samples sharing my pid (>= 1)
+    has_vis = (image_mask[:, 0] > 0).astype(jnp.float32)
+    has_nonvis = (
+        (image_mask[:, 1:].sum(axis=1) > 0) | (text_mask > 0)
+    ).astype(jnp.float32)
+    id_has_vis = (eq @ has_vis) > 0
+    id_has_nonvis = (eq @ has_nonvis) > 0
+    covered = (id_has_vis & id_has_nonvis).astype(jnp.float32)
+    inv = 1.0 / cnt
+    return (covered * inv).sum() / jnp.maximum(inv.sum(), 1e-9)
 
 
 def sanitize_grads(grads):
@@ -88,11 +131,13 @@ def make_train_step(
             their weight-gradient matmuls (profiled at ~1/3 of the backward
             under freeze_backbone — optax.set_to_zero alone still computes
             them)."""
-            if not config.freeze_backbone:
+            if not (config.freeze_backbone or config.freeze_text_backbone):
                 return params
             from prcv2025reid_tpu.training.param_groups import build_label_tree
 
-            labels = build_label_tree(params, True)
+            labels = build_label_tree(
+                params, config.freeze_backbone, config.freeze_text_backbone
+            )
             return jax.tree.map(
                 lambda lbl, p: jax.lax.stop_gradient(p) if lbl == "frozen" else p,
                 labels,
@@ -139,20 +184,27 @@ def make_train_step(
         # --- adaptive clipping (train.py:996-1001); skipped steps do not
         # pollute the norm history ---
         gnorm = optax.global_norm(grads)
+        window = state.grad_norm_hist.shape[0]  # config.adaptive_clip_window
         hist = jnp.where(
             ok,
-            state.grad_norm_hist.at[state.grad_norm_count % CLIP_WINDOW].set(gnorm),
+            state.grad_norm_hist.at[state.grad_norm_count % window].set(gnorm),
             state.grad_norm_hist,
         )
         count = state.grad_norm_count + ok.astype(jnp.int32)
         if config.adaptive_gradient_clip:
-            p70 = jnp.percentile(hist, 70.0)
+            pct = jnp.percentile(hist, 100.0 * config.adaptive_clip_pct)
             adaptive = jnp.clip(
-                p70 * config.adaptive_clip_margin,
+                pct * config.adaptive_clip_margin,
                 config.adaptive_clip_min,
                 config.adaptive_clip_max,
             )
-            max_norm = jnp.where(count >= CLIP_WINDOW, adaptive, 1.0)
+            # warm-start 1.0 is reference-exact: until >10 norms are recorded
+            # the reference also clips at max_norm=1.0 (train.py:996-1001,
+            # ``else: adaptive_max_norm = 1.0``).  Deviation that remains: the
+            # reference records norms only every NORM_EVERY=200 boundaries, so
+            # its window warms up over ~2000 steps; ours fills after
+            # CLIP_WINDOW=10 steps (strictly more responsive).
+            max_norm = jnp.where(count >= window, adaptive, 1.0)
         else:
             max_norm = jnp.asarray(config.max_grad_norm, jnp.float32)
         scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-6))
@@ -171,6 +223,31 @@ def make_train_step(
         new_opt_state = keep_old(new_opt_state, state.opt_state)
         new_batch_stats = keep_old(new_batch_stats, state.batch_stats)
 
+        # per-step monitor row — written even on skipped steps (the host
+        # spike detector must see poisoned losses; reference train.py:933-956).
+        # labels are a per-batch bijection of pids, so coverage is identical
+        # when a caller supplies only labels.
+        coverage = batch_pair_coverage(
+            batch.get("pids", batch["labels"]), batch["image_mask"], batch["text_mask"]
+        )
+        # a skipped (poisoned) step records NaN in the loss channel: the loss
+        # itself may have been force-zeroed by the loss-level finite guards
+        # while the *gradients* were non-finite — the host spike detector must
+        # still count the event (reference counts non-finite losses as spikes
+        # and `continue`s, train.py:868-876,933-956).
+        poison = jnp.where(ok, 0.0, jnp.nan)
+        ring_row = jnp.stack(
+            [
+                losses["total_loss"] + poison,
+                losses["ce_loss"] + poison,
+                losses["sdm_loss"] + poison,
+                coverage,
+            ]
+        ).astype(jnp.float32)
+        ring = state.metric_ring.at[state.step % state.metric_ring.shape[0]].set(
+            ring_row
+        )
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -179,6 +256,7 @@ def make_train_step(
             grad_norm_hist=hist,
             grad_norm_count=count,
             skipped_total=state.skipped_total + (~ok).astype(jnp.int32),
+            metric_ring=ring,
         )
 
         # --- in-graph metrics (fetched at log frequency only) ---
@@ -190,9 +268,8 @@ def make_train_step(
         feat_norm = jnp.linalg.norm(
             outputs["features"].astype(jnp.float32), axis=1
         ).mean()
-        bn_norm = jnp.linalg.norm(
-            outputs["bn_features"].astype(jnp.float32), axis=1
-        ).mean()
+        bn_norms = jnp.linalg.norm(outputs["bn_features"].astype(jnp.float32), axis=1)
+        bn_norm = bn_norms.mean()
         metrics = {
             "total_loss": losses["total_loss"],
             "ce_loss": losses["ce_loss"],
@@ -203,6 +280,9 @@ def make_train_step(
             "train_top1": top1,
             "feat_norm": feat_norm,
             "bn_feat_norm": bn_norm,
+            # sample-0 norm: the reference's L2-normalization sniff input
+            # (train.py:1163-1166)
+            "bn_feat_norm_s0": bn_norms[0],
             "skipped": (~ok).astype(jnp.float32),
         }
         return new_state, metrics

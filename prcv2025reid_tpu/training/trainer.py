@@ -38,12 +38,17 @@ from prcv2025reid_tpu.training.checkpoint import (
 )
 from prcv2025reid_tpu.training.monitors import (
     CEDiagnostics,
+    FeatureNormMonitor,
     MetricsHistory,
     PairCoverageMonitor,
     SpikeDetector,
 )
-from prcv2025reid_tpu.training.param_groups import build_optimizer, count_trainable
-from prcv2025reid_tpu.training.schedulers import SDMScheduler
+from prcv2025reid_tpu.training.param_groups import (
+    build_optimizer,
+    count_trainable,
+    set_plateau_scale,
+)
+from prcv2025reid_tpu.training.schedulers import PlateauScheduler, SDMScheduler
 from prcv2025reid_tpu.training.train_step import (
     TrainState,
     make_combo_embed_step,
@@ -84,6 +89,9 @@ class Trainer:
             allow_id_reuse=config.allow_id_reuse,
             seed=config.seed,
             steps_per_epoch=config.steps_per_epoch,
+            force_modal_pairs=config.force_modal_pairs,
+            sampling_fallback=config.sampling_fallback,
+            min_modal_coverage=config.min_modal_coverage,
         )
         # model-level dropout handles modality dropout; the per-sample path
         # stays off so masks reflect data availability
@@ -122,7 +130,14 @@ class Trainer:
                 load_hf_state_dict,
             )
 
-            hf = load_hf_state_dict(config.clip_weights_path)
+            # "hf" = resolve via the model name the preset declares
+            # (reference loads by name at models/clip_backbone.py:170)
+            src = (
+                config.clip_model_name
+                if config.clip_weights_path == "hf"
+                else config.clip_weights_path
+            )
+            hf = load_hf_state_dict(src)
             enc_tree = {"params": params["encoder"]}
             converted = convert_clip_params(hf, enc_tree, seed=config.seed)
             params = dict(params)
@@ -130,9 +145,23 @@ class Trainer:
             logger.info("loaded CLIP weights from %s", config.clip_weights_path)
 
         steps_per_epoch = len(self.sampler)
+        if config.accum_steps > 1:
+            logger.info(
+                "gradient accumulation: %d x %d = effective batch %d "
+                "(target %d, reference train.py:1481-1488)",
+                config.batch_size,
+                config.accum_steps,
+                config.batch_size * config.accum_steps,
+                config.target_effective_batch,
+            )
         self.tx = build_optimizer(config, params, steps_per_epoch)
         self.state = TrainState.create(
-            params, variables["batch_stats"], self.tx, jax.random.PRNGKey(config.seed + 1)
+            params,
+            variables["batch_stats"],
+            self.tx,
+            jax.random.PRNGKey(config.seed + 1),
+            ring_size=steps_per_epoch,
+            clip_window=config.adaptive_clip_window,
         )
         self.state = replicate_state(self.state, self.mesh)
         self.train_step = make_train_step(self.model, self.tx, config)
@@ -148,6 +177,10 @@ class Trainer:
             window=config.pair_coverage_window, target=config.pair_coverage_target
         )
         self.ce_diag = CEDiagnostics(self.num_classes)
+        self.feat_norm_monitor = FeatureNormMonitor()
+        self.plateau = (
+            PlateauScheduler.from_config(config) if config.scheduler == "plateau" else None
+        )
         # separate event dirs per history — tensorboardX names event files by
         # whole-second timestamp, so two writers in one dir collide
         tb = config.tensorboard
@@ -161,7 +194,6 @@ class Trainer:
         )
         self.start_epoch = 1
         self.best_map = 0.0
-        self.gallery_cache = GalleryCache(config.eval_cache_dir, config.eval_cache_tag)
 
     # ----- embed fns, one per modality combo -----
 
@@ -182,6 +214,8 @@ class Trainer:
         self.sdm_scheduler.load_state_dict(host["sdm_scheduler"])
         self.spike_detector.load_state_dict(host["spike_detector"])
         self.sampler.load_state_dict(host["sampler"])
+        if self.plateau is not None and host.get("plateau"):
+            self.plateau.load_state_dict(host["plateau"])
         logger.info("resumed from epoch %d (best mAP %.4f)", host["epoch"], self.best_map)
         return True
 
@@ -192,6 +226,7 @@ class Trainer:
             "sdm_scheduler": self.sdm_scheduler.state_dict(),
             "spike_detector": self.spike_detector.state_dict(),
             "sampler": self.sampler.state_dict(),
+            "plateau": self.plateau.state_dict() if self.plateau is not None else None,
             "num_classes": self.num_classes,
             "config": self.config.to_json(),
         }
@@ -201,10 +236,10 @@ class Trainer:
     def train_epoch(self, epoch: int, train_metrics_prev: Optional[Dict] = None) -> Dict:
         cfg = self.config
         self.pipeline.set_epoch(epoch)
+        # single authority for the live (weight, tau) — see SDMScheduler.get_parameters
         sdm_weight, sdm_tau = self.sdm_scheduler.get_parameters(
             epoch, train_metrics_prev or {}
         )
-        sdm_weight = self.sdm_scheduler.get_weight(epoch)
         enable_moddrop = epoch > cfg.modality_dropout_warmup_epochs
 
         # augmentation relaxation (train.py:1630-1644); worker processes hold
@@ -218,19 +253,12 @@ class Trainer:
         n_steps = 0
         n_logged = 0
         skipped_before = int(self.state.skipped_total)
+        step_before = int(self.state.step)
         t0 = time.time()
-        sharding = batch_sharding(self.mesh)
 
-        def _log_metrics(metrics, batch=None):
+        def _log_metrics(metrics):
             nonlocal n_logged
             fetched = {k: float(v) for k, v in metrics.items()}
-            self.spike_detector.update(fetched["total_loss"])
-            if batch is not None:
-                self.pair_coverage.update(
-                    np.asarray(batch["pids"]),
-                    np.asarray(batch["image_mask"]),
-                    np.asarray(batch["text_mask"]),
-                )
             for k, v in fetched.items():
                 sums[k] = sums.get(k, 0.0) + v
             n_logged += 1
@@ -240,10 +268,15 @@ class Trainer:
                     self.num_classes,
                     self.ce_diag.random_baseline,
                 )
+            warn = self.feat_norm_monitor.check(
+                fetched["bn_feat_norm_s0"], fetched["bn_feat_norm"], epoch
+            )
+            if warn:
+                logger.warning(warn)
 
         last = None
         for batch in prefetch_to_device(
-            self.pipeline, size=cfg.prefetch_batches, sharding=sharding
+            self.pipeline, size=cfg.prefetch_batches, mesh=self.mesh
         ):
             self.state, metrics = self.train_step(
                 self.state,
@@ -253,13 +286,28 @@ class Trainer:
                 enable_modality_dropout=enable_moddrop,
             )
             n_steps += 1
-            last = (metrics, batch)
-            # host-side monitors at reduced cadence (never sync every step)
+            last = metrics
+            # host-side warning monitors at reduced cadence; the spike /
+            # pair-coverage monitors are fed EVERY step from the in-graph
+            # metric ring below (reference updates per batch, train.py:933-956)
             if n_steps % LOG_EVERY == 0 or n_steps == 1:
-                _log_metrics(metrics, batch)
+                _log_metrics(metrics)
                 last = None
         if last is not None:
-            _log_metrics(*last)
+            _log_metrics(last)
+
+        # --- epoch-end ring fetch: one host sync for all n_steps rows ---
+        ring = np.asarray(self.state.metric_ring)
+        take = min(n_steps, ring.shape[0])
+        idxs = (step_before + np.arange(n_steps))[-take:] % ring.shape[0]
+        rows = ring[idxs]  # [take, 4]: total, ce, sdm, pair_coverage
+        for row in rows:
+            self.spike_detector.update(float(row[0]))
+            self.pair_coverage.update_value(float(row[3]))
+        finite = np.isfinite(rows[:, 0]) if len(rows) else np.zeros(0, bool)
+        ring_means = (
+            rows[finite].mean(axis=0) if finite.any() else np.zeros(4, np.float32)
+        )
 
         avg = {k: v / max(1, n_logged) for k, v in sums.items()}
         elapsed = time.time() - t0
@@ -278,12 +326,29 @@ class Trainer:
             "head_weight_norm": head_weight_norm,
             # exact: accumulated in-graph, fetched once per epoch
             "skipped_steps": int(self.state.skipped_total) - skipped_before,
-            **{k: avg.get(k, 0.0) for k in ("total_loss", "ce_loss", "sdm_loss", "train_top1", "grad_norm")},
+            # exact per-epoch loss means over EVERY step (metric ring), not
+            # the 1-in-LOG_EVERY samples
+            "total_loss": float(ring_means[0]),
+            "ce_loss": float(ring_means[1]),
+            "sdm_loss": float(ring_means[2]),
+            **{k: avg.get(k, 0.0) for k in ("train_top1", "grad_norm")},
         }
         # SDM anomaly response (train.py:1614-1628)
         if out["sdm_loss"] > 5.0 or out["sdm_loss"] < 0.0:
             self.sdm_scheduler.decrease_weight("sdm loss anomaly")
         return out
+
+    def _gallery_cache(self) -> GalleryCache:
+        """Parameter-fingerprinted cache tag so features are reused only for
+        byte-identical weights (the final full-ratio eval after the last
+        epoch's eval hits this; a resumed re-eval of the same checkpoint also
+        does).  Same fingerprint scheme as tools/eval_mm_protocol.py."""
+        import hashlib
+
+        cls_kernel = np.asarray(self.state.params["bn_neck"]["classifier"]["kernel"])
+        fp = hashlib.md5(cls_kernel.tobytes()).hexdigest()[:10]
+        tag = f"{self.config.eval_cache_tag}_st{int(self.state.step)}_{fp}"
+        return GalleryCache(self.config.eval_cache_dir, tag)
 
     def evaluate(self, epoch: Optional[int] = None, sample_ratio: Optional[float] = None) -> Dict:
         cfg = self.config
@@ -295,7 +360,7 @@ class Trainer:
             self.tokenizer,
             batch_size=cfg.eval_batch_size,
             include_patterns=cfg.eval_include_patterns,
-            cache=None,  # params change every epoch; caching is for frozen eval
+            cache=self._gallery_cache(),
             sample_ratio=sample_ratio if sample_ratio is not None else cfg.eval_sample_ratio,
             seed=cfg.seed,
             embed_factory=self.embed_factory,
@@ -305,6 +370,7 @@ class Trainer:
                 and cfg.eval_batch_size % self.mesh.devices.size == 0
                 else None
             ),
+            mesh=self.mesh,  # sharded ranking (compute_retrieval_metrics)
         )
         if epoch is not None:
             logger.info(
@@ -355,13 +421,31 @@ class Trainer:
                 self.eval_history.append(row)
                 if eval_metrics["map_avg2"] > self.best_map:
                     self.best_map = eval_metrics["map_avg2"]
-                    save_checkpoint(
-                        cfg.save_dir, self.state, self._host_state(epoch), name="best"
+                    best_path = cfg.best_model_path or os.path.join(
+                        cfg.save_dir, "best"
                     )
-                    logger.info("new best mAP %.4f — checkpoint saved", self.best_map)
+                    save_checkpoint(
+                        os.path.dirname(os.path.abspath(best_path)),
+                        self.state,
+                        self._host_state(epoch),
+                        name=os.path.basename(best_path),
+                    )
+                    logger.info(
+                        "new best mAP %.4f — checkpoint saved to %s",
+                        self.best_map,
+                        best_path,
+                    )
                 # SDM weight escalation gate (train.py:1614-1622)
                 if self.sdm_scheduler.can_increase_weight(epoch, train_metrics, eval_metrics):
                     self.sdm_scheduler.increase_weight()
+                # plateau LR drops on eval mAP (reference: train.py:1705-1710)
+                if self.plateau is not None:
+                    scale = self.plateau.step(eval_metrics["map_avg2"])
+                    self.state = self.state.replace(
+                        opt_state=set_plateau_scale(self.state.opt_state, scale)
+                    )
+                    if scale < 1.0:
+                        logger.info("plateau LR scale: %.5f", scale)
 
             save_checkpoint(cfg.save_dir, self.state, self._host_state(epoch))
             if epoch % cfg.save_freq == 0:

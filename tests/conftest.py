@@ -102,3 +102,20 @@ def tiny_data_config(orbench_root):
         num_ids_per_batch=3,
         instances_per_id=2,
     )
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset(tiny_data_config):
+    from prcv2025reid_tpu.data.dataset import MultiModalDataset
+
+    return MultiModalDataset(tiny_data_config, split="train")
+
+
+@pytest.fixture(scope="session")
+def tiny_tokenizer(tiny_data_config):
+    from prcv2025reid_tpu.data.tokenizer import build_tokenizer
+
+    c = tiny_data_config
+    return build_tokenizer(
+        c.tokenizer_vocab_path, c.text_vocab_size, c.text_context_length
+    )

@@ -19,6 +19,7 @@ from prcv2025reid_tpu.training.train_step import (
 )
 
 TINY = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
     vision_hidden_dim=64,
     vision_layers=2,
     vision_heads=4,
@@ -71,7 +72,7 @@ def _setup(config):
 
 class TestGradAccumulation:
     def test_params_update_only_at_boundary(self):
-        config = TrainingConfig(**TINY, gradient_accumulation_steps=2)
+        config = TrainingConfig(**{**TINY, "gradient_accumulation_steps": 2})
         model, tx, state = _setup(config)
         step = make_train_step(model, tx, config)
         b = _batch()

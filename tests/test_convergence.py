@@ -13,6 +13,7 @@ from prcv2025reid_tpu.data.dataset import MultiModalDataset
 from prcv2025reid_tpu.evaluation.protocol import evaluate_protocol
 
 TINY = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
     vision_hidden_dim=32,
     vision_layers=2,
     vision_heads=4,

@@ -110,6 +110,7 @@ class TestPlans:
 
 
 TINY = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
     vision_hidden_dim=64,
     vision_layers=2,
     vision_heads=4,

@@ -14,6 +14,7 @@ from prcv2025reid_tpu.models.reid_model import (
 )
 
 TINY = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
     vision_hidden_dim=64,
     vision_layers=2,
     vision_heads=4,

@@ -19,6 +19,7 @@ from prcv2025reid_tpu.training.param_groups import build_optimizer
 from prcv2025reid_tpu.training.train_step import TrainState, make_train_step
 
 TINY = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
     vision_hidden_dim=64,
     vision_layers=2,
     vision_heads=4,
@@ -84,6 +85,119 @@ class TestShardedTopK:
         g = np.tile(np.asarray([[1.0, 0.0]], np.float32), (16, 1))  # all tied
         _, idx = sharded_topk(jnp.asarray(q), jnp.asarray(g), 4, mesh)
         np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1, 2, 3])
+
+
+class TestShardedMetrics:
+    def test_mesh_metrics_equal_single_device(self, rng):
+        """VERDICT round-1 #2: mesh ranking must give bit-equal metrics."""
+        from prcv2025reid_tpu.evaluation.protocol import compute_retrieval_metrics
+
+        mesh = create_mesh()
+        q = rng.normal(size=(21, 16)).astype(np.float32)  # 21 % 8 != 0 -> padding
+        g = rng.normal(size=(50, 16)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        q_pids = rng.integers(0, 7, 21)
+        g_pids = rng.integers(0, 7, 50)
+        single = compute_retrieval_metrics(q, q_pids, g, g_pids)
+        meshed = compute_retrieval_metrics(q, q_pids, g, g_pids, mesh=mesh)
+        for k in single:
+            assert single[k] == pytest.approx(meshed[k], rel=1e-6), k
+
+    def test_mesh_metrics_with_exclusion(self, rng):
+        from prcv2025reid_tpu.evaluation.protocol import compute_retrieval_metrics
+
+        mesh = create_mesh()
+        q = rng.normal(size=(10, 8)).astype(np.float32)
+        g = rng.normal(size=(30, 8)).astype(np.float32)
+        q_pids = rng.integers(0, 4, 10)
+        g_pids = rng.integers(0, 4, 30)
+        exclude = rng.random((10, 30)) < 0.1
+        single = compute_retrieval_metrics(q, q_pids, g, g_pids, exclude)
+        meshed = compute_retrieval_metrics(q, q_pids, g, g_pids, exclude, mesh=mesh)
+        for k in single:
+            assert single[k] == pytest.approx(meshed[k], rel=1e-6), k
+
+    def test_mesh_metrics_small_chunks(self, rng):
+        """Chunked + padded + sharded must still equal the plain path."""
+        from prcv2025reid_tpu.evaluation.protocol import compute_retrieval_metrics
+
+        mesh = create_mesh()
+        q = rng.normal(size=(13, 8)).astype(np.float32)
+        g = rng.normal(size=(20, 8)).astype(np.float32)
+        q_pids = rng.integers(0, 3, 13)
+        g_pids = rng.integers(0, 3, 20)
+        single = compute_retrieval_metrics(q, q_pids, g, g_pids, query_chunk=5)
+        meshed = compute_retrieval_metrics(
+            q, q_pids, g, g_pids, query_chunk=5, mesh=mesh
+        )
+        for k in single:
+            assert single[k] == pytest.approx(meshed[k], rel=1e-6), k
+
+
+class TestMultiHostFeed:
+    """process_local slicing: the per-process local batches must reassemble
+    into exactly the single-process global batch (VERDICT round-1 #3)."""
+
+    def _pipeline(self, tiny_dataset, tokenizer, pi, pc):
+        from prcv2025reid_tpu.data.pipeline import HostPipeline
+        from prcv2025reid_tpu.data.sampler import PKBatchSampler
+
+        sampler = PKBatchSampler(tiny_dataset, 4, 2, seed=7, steps_per_epoch=3)
+        return HostPipeline(
+            tiny_dataset,
+            sampler,
+            tokenizer,
+            num_workers=0,
+            seed=123,
+            modality_dropout=0.0,
+            process_index=pi,
+            process_count=pc,
+        )
+
+    def test_slices_reassemble_global_batch(self, tiny_dataset, tiny_tokenizer):
+        single = list(self._pipeline(tiny_dataset, tiny_tokenizer, 0, 1))
+        parts = [list(self._pipeline(tiny_dataset, tiny_tokenizer, pi, 2)) for pi in (0, 1)]
+        assert len(single) == len(parts[0]) == len(parts[1])
+        for b_all, b0, b1 in zip(single, *parts):
+            # indices/labels/masks reassemble exactly (augment RNG is
+            # per-process, so pixels differ — identity stream must not)
+            for key in ("labels", "pids", "indices", "image_mask", "text_mask"):
+                glued = np.concatenate([b0[key], b1[key]])
+                np.testing.assert_array_equal(glued, b_all[key], err_msg=key)
+
+    def test_padding_when_not_divisible(self, tiny_dataset, tiny_tokenizer):
+        from prcv2025reid_tpu.data.pipeline import HostPipeline
+        from prcv2025reid_tpu.data.sampler import PKBatchSampler
+
+        sampler = PKBatchSampler(tiny_dataset, 3, 2, seed=7, steps_per_epoch=2)  # B=6
+        parts = []
+        for pi in range(4):  # 6 % 4 != 0 -> per-process 2 with padding
+            pipe = HostPipeline(
+                tiny_dataset, sampler, tiny_tokenizer, num_workers=0, seed=1,
+                modality_dropout=0.0, process_index=pi, process_count=4,
+            )
+            sampler.load_state_dict({"rng_state": PKBatchSampler(
+                tiny_dataset, 3, 2, seed=7).rng.bit_generator.state})
+            parts.append(list(pipe))
+        for batches in zip(*parts):
+            sizes = {b["labels"].shape[0] for b in batches}
+            assert sizes == {2}  # equal local slices
+            # padded rows carry label -1 and zero masks
+            last = batches[-1]
+            assert last["labels"][-1] == -1
+            assert last["image_mask"][-1].sum() == 0
+
+    def test_global_batch_assembly_on_mesh(self, tiny_dataset, tiny_tokenizer):
+        """make_global_batch on the single-process path shards the leading dim."""
+        from prcv2025reid_tpu.parallel.mesh import make_global_batch
+
+        mesh = create_mesh()
+        pipe = self._pipeline(tiny_dataset, tiny_tokenizer, 0, 1)
+        batch = next(iter(pipe))
+        g = make_global_batch(batch, mesh)
+        assert g["labels"].shape[0] == batch["labels"].shape[0]
+        assert g["images"].sharding.spec == batch_sharding(mesh).spec
 
 
 class TestDataParallelTrainStep:

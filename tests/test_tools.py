@@ -12,6 +12,7 @@ from prcv2025reid_tpu.tools.diagnose import activation_report, summarize
 from prcv2025reid_tpu.utils.profiling import StepTimer, cost_summary
 
 TINY = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
     vision_hidden_dim=64,
     vision_layers=2,
     vision_heads=4,

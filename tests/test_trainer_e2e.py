@@ -9,6 +9,7 @@ from prcv2025reid_tpu.configs import TrainingConfig
 from prcv2025reid_tpu.training.trainer import Trainer
 
 TINY = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
     vision_hidden_dim=64,
     vision_layers=2,
     vision_heads=4,

@@ -31,6 +31,7 @@ from prcv2025reid_tpu.training.schedulers import (
 from prcv2025reid_tpu.training.train_step import TrainState, make_embed_step, make_train_step
 
 TINY = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
     vision_hidden_dim=64,
     vision_layers=2,
     vision_heads=4,
@@ -242,6 +243,115 @@ class TestTrainStep:
         feats = embed({"params": state.params, "batch_stats": state.batch_stats}, b)
         norms = np.linalg.norm(np.asarray(feats), axis=1)
         np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+class TestMetricRing:
+    def test_ring_records_every_step(self, setup):
+        """Each step writes (total, ce, sdm, coverage) into its ring row —
+        the epoch-end feed for the spike/pair-coverage monitors (the
+        reference updates them per batch, train.py:933-956)."""
+        config, model, tx, state, step_fn = setup
+        s = TrainState.create(
+            state.params, state.batch_stats, tx, jax.random.PRNGKey(1), ring_size=5
+        )
+        per_step = []
+        for i in range(3):
+            b = _batch(rng=np.random.default_rng(i))
+            s, m = step_fn(s, b, jnp.float32(0.2), jnp.float32(0.2))
+            per_step.append((float(m["total_loss"]), float(m["ce_loss"]), float(m["sdm_loss"])))
+        ring = np.asarray(s.metric_ring)
+        for i, (tot, ce, sdm) in enumerate(per_step):
+            assert ring[i, 0] == pytest.approx(tot, rel=1e-5)
+            assert ring[i, 1] == pytest.approx(ce, rel=1e-5)
+            assert ring[i, 2] == pytest.approx(sdm, rel=1e-5)
+            assert 0.0 <= ring[i, 3] <= 1.0  # pair coverage
+        assert np.all(ring[3:] == 0)  # untouched rows
+
+    def test_spike_detector_sees_injected_midepoch_spike(self, setup):
+        """A poisoned batch mid-epoch lands in the ring (even though the
+        update is skipped) and the host detector counts it."""
+        config, model, tx, state, step_fn = setup
+        s = TrainState.create(
+            state.params, state.batch_stats, tx, jax.random.PRNGKey(1), ring_size=8
+        )
+        n = 0
+        for i in range(6):
+            b = _batch(rng=np.random.default_rng(i))
+            if i == 3:
+                b["images"] = b["images"].at[0, 0, 0, 0, 0].set(jnp.nan)
+            s, _ = step_fn(s, b, jnp.float32(0.0), jnp.float32(0.2))
+            n += 1
+        ring = np.asarray(s.metric_ring)[:n]
+        det = SpikeDetector(min_samples=2)
+        for row in ring:
+            det.update(float(row[0]))
+        assert det.spikes >= 1  # the NaN row counts as a spike
+        assert not np.isfinite(ring[3, 0])
+
+
+class TestEnableMer:
+    def test_disabled_equals_enabled_at_zero_init(self, setup):
+        """LoRA B is zero-init, so enable_mer=False must produce the exact
+        same forward at step 0 (the delta path is identically zero)."""
+        config, model, tx, state, _ = setup
+        from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+        model_off = MultiModalReIDModel(
+            config=config.replace(enable_mer=False), num_classes=3, dtype=jnp.float32
+        )
+        b = _batch()
+        vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+        out_on = model.apply(vars_, b["images"], b["image_mask"], b["text_tokens"], b["text_mask"], train=False)
+        out_off = model_off.apply(vars_, b["images"], b["image_mask"], b["text_tokens"], b["text_mask"], train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_on["logits"]), np.asarray(out_off["logits"]), atol=1e-5
+        )
+
+    def test_disabled_ignores_lora_perturbation(self, setup):
+        config, model, tx, state, _ = setup
+        from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+        import copy
+        params = jax.tree.map(lambda x: x, state.params)
+        lb = params["encoder"]["vision"]["block_0"]["attn"]["q_proj"]["lora_B"]
+        params["encoder"]["vision"]["block_0"]["attn"]["q_proj"]["lora_B"] = lb + 1.0
+        vars_ = {"params": params, "batch_stats": state.batch_stats}
+        b = _batch()
+        model_off = MultiModalReIDModel(
+            config=config.replace(enable_mer=False), num_classes=3, dtype=jnp.float32
+        )
+        out_off = model_off.apply(vars_, b["images"], b["image_mask"], b["text_tokens"], b["text_mask"], train=False)
+        out_on = model.apply(vars_, b["images"], b["image_mask"], b["text_tokens"], b["text_mask"], train=False)
+        base = {"params": state.params, "batch_stats": state.batch_stats}
+        out_base = model.apply(base, b["images"], b["image_mask"], b["text_tokens"], b["text_mask"], train=False)
+        # routed model reacts to the perturbation; unrouted does not
+        assert np.abs(np.asarray(out_on["logits"]) - np.asarray(out_base["logits"])).max() > 1e-4
+        out_off_base = model_off.apply(base, b["images"], b["image_mask"], b["text_tokens"], b["text_mask"], train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_off["logits"]), np.asarray(out_off_base["logits"]), atol=1e-6
+        )
+
+
+class TestFreezeTextBackbone:
+    def test_text_tower_labeled_frozen(self, setup):
+        config, model, tx, state, _ = setup
+        labels = build_label_tree(
+            state.params, freeze_backbone=False, freeze_text_backbone=True
+        )
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        by_path = {
+            "/".join(k.key for k in path if hasattr(k, "key")): lbl
+            for path, lbl in flat
+        }
+        text_tower = {v for k, v in by_path.items() if k.startswith("encoder/text/")}
+        assert text_tower == {"frozen"}
+        # text_proj stays trainable (reference freezes the tower only,
+        # models/clip_backbone.py:213-215)
+        proj = {v for k, v in by_path.items() if "text_proj" in k}
+        assert proj == {"projections"}
+        # vision trunk unaffected
+        vis = {v for k, v in by_path.items() if "block_0/attn" in k and "shared" in k}
+        assert vis == {"clip_backbone"}
 
 
 class TestMonitors:

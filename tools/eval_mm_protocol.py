@@ -33,7 +33,11 @@ def main(argv=None):
     from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
     from prcv2025reid_tpu.training.checkpoint import restore_checkpoint
     from prcv2025reid_tpu.training.param_groups import build_optimizer
-    from prcv2025reid_tpu.training.train_step import TrainState, make_combo_embed_step
+    from prcv2025reid_tpu.training.train_step import (
+        TrainState,
+        make_combo_embed_step,
+        make_weighted_embed_step,
+    )
     import jax
 
     ap = argparse.ArgumentParser(description=__doc__)
@@ -45,7 +49,16 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--sample_ratio", type=float, default=1.0)
     ap.add_argument("--submission", default=None, help="also export a submission CSV here")
-    ap.add_argument("--topk", type=int, default=100)
+    ap.add_argument(
+        "--topk", type=int, default=None,
+        help="submission ranking depth; default = checkpoint config.rank_topk",
+    )
+    ap.add_argument(
+        "--fusion_mode", choices=("model", "weighted"), default="model",
+        help="query fusion: the model's attention fusion, or the reference "
+        "FeatureExtractor's fixed weighted sum (text x1.2, "
+        "tools/eval_mm_protocol.py:133-219)",
+    )
     ap.add_argument(
         "--exclude_same_image",
         action=argparse.BooleanOptionalAction,
@@ -99,7 +112,10 @@ def main(argv=None):
     def embed_factory(mods):
         mods = tuple(mods)
         if mods not in embed_fns:
-            embed_fns[mods] = make_combo_embed_step(model, mods)
+            if args.fusion_mode == "weighted" and len(mods) > 1:
+                embed_fns[mods] = make_weighted_embed_step(model, mods)
+            else:
+                embed_fns[mods] = make_combo_embed_step(model, mods)
         return embed_fns[mods]
 
     # cache key must change with the checkpoint — stale gallery features from
@@ -111,7 +127,23 @@ def main(argv=None):
 
     cls_kernel = np.asarray(state.params["bn_neck"]["classifier"]["kernel"])
     fp = hashlib.md5(cls_kernel.tobytes()).hexdigest()[:10]
-    ckpt_tag = f"{args.cache_tag}_ep{host.get('epoch', 0)}_st{int(state.step)}_{fp}"
+    ckpt_tag = (
+        f"{args.cache_tag}_ep{host.get('epoch', 0)}_st{int(state.step)}_{fp}"
+        + ("_w" if args.fusion_mode == "weighted" else "")
+    )
+    # sharded embedding + ranking over every visible chip (degenerate 1-chip
+    # mesh on a single device — one code path, SURVEY.md §5.8)
+    from prcv2025reid_tpu.parallel.mesh import (
+        batch_sharding,
+        create_mesh,
+        replicate_state,
+    )
+
+    mesh = create_mesh(batch_size=args.batch_size)
+    sharding = batch_sharding(mesh) if mesh.devices.size > 1 else None
+    if sharding is not None:
+        # params must live on the same device set as the sharded batches
+        eval_vars = replicate_state(eval_vars, mesh)
     result = evaluate_protocol(
         None,
         eval_vars,
@@ -123,6 +155,8 @@ def main(argv=None):
         cache=GalleryCache(args.cache_dir, ckpt_tag),
         sample_ratio=args.sample_ratio,
         embed_factory=embed_factory,
+        sharding=sharding,
+        mesh=mesh,
     )
     print(json.dumps(result, indent=2, default=float))
 
@@ -134,8 +168,9 @@ def main(argv=None):
             tokenizer,
             args.submission,
             batch_size=args.batch_size,
-            top_k=args.topk,
+            top_k=args.topk if args.topk is not None else config.rank_topk,
             embed_factory=embed_factory,
+            mesh=mesh,
         )
         logging.info("submission: %d rows -> %s", n, args.submission)
     return result

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Serving mode: frozen-weight embedding "server" CLI.
+
+The reference has no serving path — its closest analog is the standalone
+eval tool's per-image FeatureExtractor (tools/eval_mm_protocol.py:133-219,
+batch=1, no caching).  This is the TPU-native production shape: one
+checkpoint load, LoRA folded into per-modality effective kernels at trace
+time (models/mer.py fold=True), persistent compilation cache, batched
+embedding at config.inference_batch_size, L2-normalized fp32 output.
+
+Usage:
+    python tools/serve_embed.py --model_path ./checkpoints/best \
+        --images 'gallery/*.jpg' --modality vis --out feats.npz
+    python tools/serve_embed.py --model_path ... --text captions.txt --out t.npz
+    python tools/serve_embed.py --model_path ... --benchmark  # embeds/s
+"""
+import argparse
+import glob as globlib
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_model(model_path):
+    import jax
+    import jax.numpy as jnp
+
+    from prcv2025reid_tpu.configs import TrainingConfig
+    from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+    from prcv2025reid_tpu.training.checkpoint import restore_checkpoint
+    from prcv2025reid_tpu.training.param_groups import build_optimizer
+    from prcv2025reid_tpu.training.train_step import TrainState
+
+    with open(os.path.join(model_path, "host_state.json")) as f:
+        host = json.load(f)
+    config = TrainingConfig.from_json(host["config"])
+    model = MultiModalReIDModel(config=config, num_classes=host["num_classes"])
+    B, S = 2, config.image_size
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((B, len(config.vision_modalities), S, S, 3), jnp.float32),
+        jnp.ones((B, len(config.vision_modalities)), jnp.float32),
+        jnp.zeros((B, config.text_context_length), jnp.int32),
+        jnp.ones((B,), jnp.float32),
+        train=False,
+    )
+    tx = build_optimizer(config, variables["params"], steps_per_epoch=1)
+    template = TrainState.create(
+        variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(1)
+    )
+    state, _ = restore_checkpoint(
+        os.path.dirname(os.path.abspath(model_path)),
+        template,
+        name=os.path.basename(model_path),
+    )
+    return config, model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", required=True, help="checkpoint dir")
+    ap.add_argument("--images", default=None, help="glob of image files")
+    ap.add_argument("--text", default=None, help="file with one caption per line")
+    ap.add_argument("--modality", default="vis", choices=("vis", "nir", "sk", "cp"))
+    ap.add_argument("--out", default=None, help="output .npz (features, ids)")
+    ap.add_argument(
+        "--batch_size", type=int, default=None,
+        help="default = checkpoint config.inference_batch_size",
+    )
+    ap.add_argument("--benchmark", action="store_true", help="print embeds/s and exit")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from prcv2025reid_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from prcv2025reid_tpu.data.tokenizer import build_tokenizer
+    from prcv2025reid_tpu.training.train_step import make_combo_embed_step
+
+    config, model, variables = _load_model(args.model_path)
+    B = args.batch_size or config.inference_batch_size
+    Mv, S = len(config.vision_modalities), config.image_size
+    mod_slot = list(config.vision_modalities).index(args.modality) if args.modality != "text" else None
+
+    def embed_images(paths):
+        from PIL import Image
+
+        from prcv2025reid_tpu.data.augment import ImageTransform
+
+        tf = ImageTransform(image_size=S, train=False)
+        fn = make_combo_embed_step(model, (args.modality,))
+        feats = []
+        for start in range(0, len(paths), B):
+            chunk = paths[start : start + B]
+            n = len(chunk)
+            imgs = np.zeros((B, Mv, S, S, 3), np.float32)
+            mask = np.zeros((B, Mv), np.float32)
+            for i, p in enumerate(chunk):
+                imgs[i, mod_slot] = tf(Image.open(p).convert("RGB"))
+                mask[i, mod_slot] = 1.0
+            batch = {
+                "images": jnp.asarray(imgs),
+                "image_mask": jnp.asarray(mask),
+                "text_tokens": jnp.zeros((B, config.text_context_length), jnp.int32),
+                "text_mask": jnp.zeros((B,), jnp.float32),
+            }
+            feats.append(np.asarray(fn(variables, batch))[:n])
+        return np.concatenate(feats) if feats else np.zeros((0, config.fusion_dim))
+
+    def embed_texts(captions):
+        tokenizer = build_tokenizer(
+            config.tokenizer_vocab_path,
+            config.text_vocab_size,
+            config.text_context_length,
+        )
+        fn = make_combo_embed_step(model, ("text",))
+        feats = []
+        for start in range(0, len(captions), B):
+            chunk = captions[start : start + B]
+            n = len(chunk)
+            padded = chunk + [""] * (B - n)
+            batch = {
+                "images": jnp.zeros((B, Mv, S, S, 3), jnp.float32),
+                "image_mask": jnp.zeros((B, Mv), jnp.float32),
+                "text_tokens": jnp.asarray(tokenizer(padded).astype(np.int32)),
+                "text_mask": jnp.asarray([1.0] * n + [0.0] * (B - n), jnp.float32),
+            }
+            feats.append(np.asarray(fn(variables, batch))[:n])
+        return np.concatenate(feats) if feats else np.zeros((0, config.fusion_dim))
+
+    if args.benchmark:
+        fn = make_combo_embed_step(model, ("vis",))
+        rng = np.random.default_rng(0)
+        batch = {
+            "images": jnp.asarray(rng.normal(size=(B, Mv, S, S, 3)), jnp.float32),
+            "image_mask": jnp.asarray(np.eye(Mv)[[0]] * np.ones((B, 1)), jnp.float32),
+            "text_tokens": jnp.zeros((B, config.text_context_length), jnp.int32),
+            "text_mask": jnp.zeros((B,), jnp.float32),
+        }
+        np.asarray(fn(variables, batch))  # compile + warm
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            out = fn(variables, batch)
+        float(jnp.sum(out))  # host fetch = completion barrier
+        dt = time.perf_counter() - t0
+        print(json.dumps({"embeds_per_sec": round(B * iters / dt, 2), "batch": B}))
+        return
+
+    ids, feats = [], None
+    if args.images:
+        paths = sorted(globlib.glob(args.images))
+        if not paths:
+            raise SystemExit(f"no files match {args.images!r}")
+        feats = embed_images(paths)
+        ids = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    elif args.text:
+        with open(args.text) as f:
+            captions = [line.rstrip("\n") for line in f if line.strip()]
+        feats = embed_texts(captions)
+        ids = [str(i) for i in range(len(captions))]
+    else:
+        raise SystemExit("one of --images / --text / --benchmark is required")
+
+    out = args.out or "embeddings.npz"
+    np.savez(out, features=feats, ids=np.asarray(ids))
+    logging.info("%d embeddings (%s) -> %s", len(ids), args.modality, out)
+
+
+if __name__ == "__main__":
+    main()
