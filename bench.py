@@ -35,12 +35,23 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     B = int(os.environ.get("PRCV_BENCH_BATCH", 128 if on_tpu else 4))
     N_ITERS = 10 if on_tpu else 2
-    try_pallas = os.environ.get("PRCV_BENCH_PALLAS", "0") == "1"
+    # extra measurement paths: "pallas" (fused attention), "fused" /
+    # "fused_int8" (fused block kernels, ops/fused_block.py).  A non-default
+    # path may only become the headline number if its embeddings are
+    # retrieval-equivalent to the XLA path (min cosine >= 0.999 on a probe
+    # batch) — checked below.
+    extra_impls = [
+        s for s in os.environ.get("PRCV_BENCH_IMPLS", "").split(",") if s
+    ]
+    if os.environ.get("PRCV_BENCH_PALLAS", "0") == "1":
+        extra_impls.append("pallas")
 
-    def build(use_pallas: bool):
+    def build(impl: str):
         config = TrainingConfig(
             compute_dtype="bfloat16" if on_tpu else "float32",
-            use_pallas_attention=use_pallas,
+            use_pallas_attention=(impl == "pallas"),
+            use_fused_resln=(impl == "resln"),
+            block_impl=impl if impl.startswith("fused") else "xla",
         )
         model = MultiModalReIDModel(config=config, num_classes=400)
         Mv, S = len(config.vision_modalities), config.image_size
@@ -73,10 +84,24 @@ def main():
 
             return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
 
-        return bench_fn, variables, images
+        @jax.jit
+        def embed_once(variables, images):
+            imgs = jnp.zeros((8, Mv, S, S, 3), images.dtype)
+            imgs = imgs.at[:, 0].set(images[:8])
+            return model.apply(
+                variables,
+                imgs,
+                image_mask[:8],
+                tokens[:8],
+                text_mask[:8],
+                ("vis",),
+                method=model.encode_subset,
+            )
 
-    def measure(use_pallas: bool) -> float:
-        bench_fn, variables, images = build(use_pallas)
+        return bench_fn, embed_once, variables, images
+
+    def measure(impl: str):
+        bench_fn, embed_once, variables, images = build(impl)
         _ = float(bench_fn(variables, images))  # compile + warm
         best = 0.0
         for _ in range(3):
@@ -85,18 +110,29 @@ def main():
             dt = time.perf_counter() - t0
             assert np.isfinite(checksum)
             best = max(best, B * N_ITERS / dt)
-        return best
+        probe = np.asarray(embed_once(variables, images), np.float64)
+        return best, probe
 
-    results = {}
-    if try_pallas and on_tpu:
+    results, probes = {}, {}
+    for impl in [*extra_impls, "xla"]:
         try:
-            results["pallas"] = measure(use_pallas=True)
+            results[impl], probes[impl] = measure(impl)
         except Exception as e:
-            print(f"pallas path failed: {type(e).__name__}: {e}", file=sys.stderr)
-    try:
-        results["xla"] = measure(use_pallas=False)
-    except Exception as e:
-        print(f"xla path failed: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"{impl} path failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    if "xla" in probes:
+        ref = probes["xla"]
+        ref_n = ref / (np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-12)
+        for impl in list(results):
+            if impl == "xla":
+                continue
+            out = probes[impl]
+            out_n = out / (np.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
+            cos = float((ref_n * out_n).sum(-1).min())
+            print(f"{impl} vs xla embedding min-cosine: {cos:.6f}", file=sys.stderr)
+            if cos < 0.999:
+                print(f"{impl} fails the parity gate — excluded", file=sys.stderr)
+                del results[impl]
 
     candidates = {k: v for k, v in results.items() if v}
     if not candidates:

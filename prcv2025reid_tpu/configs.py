@@ -182,6 +182,12 @@ class TrainingConfig:
     # XLA even in isolation on this toolchain (0.91 vs 0.75 ms — Mosaic
     # elementwise codegen); see docs/performance.md. Kept for future tuning.
     use_fused_resln: bool = False
+    # Fused block kernels for the folded eval/serving forward
+    # (ops/fused_block.py): "xla" (default), "fused" (bf16 — LN/GELU/residual
+    # fused into the matmul kernels, one VMEM pass each side of attention),
+    # "fused_int8" (additionally int8-quantized matmuls for the v5e int8 MXU;
+    # serving only — bench.py gates it on embedding parity vs the bf16 path).
+    block_impl: str = "xla"
     rank_topk: int = 100  # submission export depth (tools/eval_mm_protocol.py:629-643)
 
     # populated at runtime

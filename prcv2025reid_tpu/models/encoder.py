@@ -45,6 +45,7 @@ class UnifiedEncoder(nn.Module):
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
     resln_impl: str = "xla"
+    block_impl: str = "xla"
 
     @classmethod
     def from_config(cls, config: TrainingConfig, dtype=None) -> "UnifiedEncoder":
@@ -71,6 +72,7 @@ class UnifiedEncoder(nn.Module):
             attn_impl="auto" if config.use_pallas_attention else "xla",
             mlp_impl="auto" if config.use_fused_mlp else "xla",
             resln_impl="auto" if config.use_fused_resln else "xla",
+            block_impl=config.block_impl,
         )
 
     def setup(self):
@@ -92,6 +94,7 @@ class UnifiedEncoder(nn.Module):
             attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
             resln_impl=self.resln_impl,
+            block_impl=self.block_impl,
         )
         self.text = TextTower(
             vocab_size=self.text_vocab,

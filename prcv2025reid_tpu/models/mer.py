@@ -126,14 +126,23 @@ class MERDense(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, expert_ids: Tuple[int, ...], fold: bool = True
+        self,
+        x: jnp.ndarray,
+        expert_ids: Tuple[int, ...],
+        fold: bool = True,
+        weights_only: bool = False,
     ) -> jnp.ndarray:
         """``fold=True`` (eval/serving): LoRA folds into per-group effective
         kernels — fastest forward.  ``fold=False`` (training): the classic
         thin side path — the backward then produces thin dA/dB matmuls
         instead of a dense [G, in, out] dW_eff per linear (profiled at ~13%
-        of the train step)."""
-        assert len(expert_ids) == x.shape[0], "one expert id per group"
+        of the train step).
+
+        ``weights_only=True`` declares the params and returns the folded
+        ``(w_eff [G, in, out], bias)`` without computing — the fused block
+        kernels (ops/fused_block.py) consume these directly."""
+        if not weights_only:
+            assert len(expert_ids) == x.shape[0], "one expert id per group"
         in_dim = x.shape[-1]
         kernel, bias = _SharedParams(
             self.features, self.use_bias, self.param_dtype, name="shared"
@@ -152,6 +161,16 @@ class MERDense(nn.Module):
         )
         dt = self.dtype or x.dtype
         ids = tuple(expert_ids)
+        if weights_only:
+            if self.enable:
+                w_eff = effective_weights(
+                    kernel, lora_a, lora_b, ids, self.alpha / self.rank, dt
+                )
+            else:
+                w_eff = jnp.broadcast_to(
+                    kernel.astype(dt)[None], (len(ids),) + kernel.shape
+                )
+            return w_eff, (bias.astype(dt) if bias is not None else None)
         xa = x.astype(dt)
         if not self.enable:
             y = xa @ kernel.astype(dt)
@@ -191,7 +210,11 @@ class MERAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, expert_ids: Tuple[int, ...], fold: bool = True
+        self,
+        x: jnp.ndarray,
+        expert_ids: Tuple[int, ...],
+        fold: bool = True,
+        weights_only: bool = False,
     ) -> jnp.ndarray:
         G, B, S, D = x.shape
         assert D % self.num_heads == 0
@@ -205,6 +228,30 @@ class MERAttention(nn.Module):
             for n in ("q_proj", "k_proj", "v_proj")
         ]
         b_qkv = jnp.concatenate([p[1].astype(dt) for p in proj_params], axis=0)
+        if weights_only:
+            # folded weights for the fused block kernels (ops/fused_block.py)
+            if self.enable:
+                w_qkv = jnp.concatenate(
+                    [effective_weights(k_, la, lb, ids, scale, dt)
+                     for k_, _, la, lb in proj_params],
+                    axis=2,
+                )  # [G, D, 3D]
+            else:
+                w_pack = jnp.concatenate(
+                    [k_.astype(dt) for k_, _, _, _ in proj_params], axis=1
+                )
+                w_qkv = jnp.broadcast_to(w_pack[None], (len(ids),) + w_pack.shape)
+            w_out, b_out = MERDense(
+                D,
+                num_experts=self.num_experts,
+                rank=self.rank,
+                alpha=self.alpha,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                enable=self.enable,
+                name="out_proj",
+            )(x, ids, weights_only=True)
+            return w_qkv, b_qkv, w_out, b_out
         xa = x.astype(dt)
         if not self.enable:
             w_pack = jnp.concatenate(
@@ -299,9 +346,33 @@ class MERMlp(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, expert_ids: Tuple[int, ...], fold: bool = True
+        self,
+        x: jnp.ndarray,
+        expert_ids: Tuple[int, ...],
+        fold: bool = True,
+        weights_only: bool = False,
     ) -> jnp.ndarray:
         D = x.shape[-1]
+        if weights_only:
+            # folded weights for the fused block kernels (ops/fused_block.py);
+            # declares fc1/fc2 under the same tree paths as the MERDense branch
+            dt = self.dtype or x.dtype
+            scale = self.alpha / self.rank
+            ids = tuple(expert_ids)
+            k1, b1, a1, lb1 = _MERProjParams(
+                self.mlp_dim, self.num_experts, self.rank, self.param_dtype,
+                name="fc1",
+            )(D)
+            k2, b2, a2, lb2 = _MERProjParams(
+                D, self.num_experts, self.rank, self.param_dtype, name="fc2"
+            )(self.mlp_dim)
+            if self.enable:
+                w1 = effective_weights(k1, a1, lb1, ids, scale, dt)
+                w2 = effective_weights(k2, a2, lb2, ids, scale, dt)
+            else:
+                w1 = jnp.broadcast_to(k1.astype(dt)[None], (len(ids),) + k1.shape)
+                w2 = jnp.broadcast_to(k2.astype(dt)[None], (len(ids),) + k2.shape)
+            return w1, b1.astype(dt), w2, b2.astype(dt)
         impl = self.impl
         if impl == "auto":
             from prcv2025reid_tpu.ops.attention import _pallas_available
@@ -415,6 +486,12 @@ class MERBlock(nn.Module):
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
     enable_mer: bool = True  # config.enable_mer (reference: configs/config.py:27)
+    # "xla" | "fused" | "fused_int8" (+ "_interpret" test variants): the fused
+    # settings route the folded eval forward through the two Pallas block
+    # kernels (ops/fused_block.py) with XLA attention in between.  int8
+    # additionally quantizes every projection (weights per column, activations
+    # per row inside the kernels) for the v5e int8 MXU — serving only.
+    block_impl: str = "xla"
 
     def setup(self):
         self.ln1 = LNParams(self.embed_dim, self.param_dtype, name="ln1")
@@ -451,6 +528,8 @@ class MERBlock(nn.Module):
         # eval folds LoRA into the kernels (fast forward); training keeps the
         # thin side path (cheap backward) — see MERDense.
         fold = deterministic
+        if fold and self.block_impl != "xla":
+            return self._fused_call(x, expert_ids)
         attn_out = self.attn(ln_apply(x, *self.ln1()), expert_ids, fold=fold)
         rng1 = (
             self.make_rng("droppath")
@@ -467,3 +546,90 @@ class MERBlock(nn.Module):
         )
         x = x + drop_path(mlp_out, self.drop_path_rate, deterministic, rng2)
         return x
+
+    def cls_only_call(
+        self, x: jnp.ndarray, expert_ids: Tuple[int, ...]
+    ) -> jnp.ndarray:
+        """Exact CLS-row output of the folded eval forward: [G,B,S,D] ->
+        [G,B,D].
+
+        The trunk only ever consumes ``x[:, :, 0]`` after the last block
+        (models/vit.py), so the last block's q-projection, out-projection and
+        MLP are computed for the CLS token alone — k/v still span all tokens.
+        Math is identical to ``__call__``'s CLS row (~7% of model FLOPs
+        saved; measured in docs/performance.md)."""
+        from prcv2025reid_tpu.ops.attention import xla_attention_bshd
+
+        ids = tuple(expert_ids)
+        G, B, S, D = x.shape
+        H = self.num_heads
+        Dh = D // H
+        w_qkv, b_qkv, w_out, b_out = self.attn(x, ids, weights_only=True)
+        w1, b1, w2, b2 = self.mlp(x, ids, weights_only=True)
+        h = ln_apply(x, *self.ln1())
+        # k/v for all tokens; q for the CLS row only
+        kv = jnp.einsum("gbsi,gio->gbso", h, w_qkv[:, :, D:]) + b_qkv[D:]
+        q = jnp.einsum("gbi,gio->gbo", h[:, :, 0], w_qkv[:, :, :D]) + b_qkv[:D]
+        k, v = jnp.split(kv, 2, axis=-1)
+        attn = xla_attention_bshd(
+            q.reshape(G * B, 1, H, Dh),
+            k.reshape(G * B, S, H, Dh),
+            v.reshape(G * B, S, H, Dh),
+        ).reshape(G, B, D)
+        proj = jnp.einsum("gbi,gio->gbo", attn, w_out) + b_out
+        x2 = x[:, :, 0].astype(proj.dtype) + proj
+        y = ln_apply(x2, *self.ln2())
+        h1 = jnp.einsum("gbi,gif->gbf", y, w1) + b1
+        h1 = jax.nn.gelu(h1, approximate=False)
+        return x2 + jnp.einsum("gbf,gfd->gbd", h1, w2) + b2
+
+    def _fused_call(
+        self, x: jnp.ndarray, expert_ids: Tuple[int, ...]
+    ) -> jnp.ndarray:
+        """Folded eval forward through the two fused block kernels:
+        LN1+QKV (one VMEM pass) -> XLA attention -> out-proj+residual+LN2+
+        MLP+residual (one VMEM pass).  See ops/fused_block.py."""
+        from prcv2025reid_tpu.ops.fused_block import (
+            fused_ln_qkv,
+            fused_out_mlp,
+            quantize_weight,
+        )
+        from prcv2025reid_tpu.ops.attention import xla_attention_bshd
+
+        interpret = self.block_impl.endswith("_interpret")
+        impl = self.block_impl.removesuffix("_interpret")
+        quant = "int8" if impl == "fused_int8" else "bf16"
+        ids = tuple(expert_ids)
+        G, B, S, D = x.shape
+        head_dim = D // self.num_heads
+
+        w_qkv, b_qkv, w_out, b_out = self.attn(x, ids, weights_only=True)
+        w1, b1, w2, b2 = self.mlp(x, ids, weights_only=True)
+        ln1_s, ln1_b = self.ln1()
+        ln2_s, ln2_b = self.ln2()
+        b_qkv_g = jnp.broadcast_to(b_qkv[None], (G,) + b_qkv.shape)
+        b_out_g = jnp.broadcast_to(b_out[None], (G,) + b_out.shape)
+        b1_g = jnp.broadcast_to(b1[None], (G,) + b1.shape)
+        b2_g = jnp.broadcast_to(b2[None], (G,) + b2.shape)
+        if quant == "int8":
+            w_qkv = quantize_weight(w_qkv)
+            w_out = quantize_weight(w_out)
+            w1 = quantize_weight(w1)
+            w2 = quantize_weight(w2)
+
+        xf = x.reshape(G, B * S, D)
+        qkv = fused_ln_qkv(
+            xf, ln1_s, ln1_b, w_qkv, b_qkv_g, quant, 256, interpret
+        )  # [G, B*S, 3D]
+        q, k, v = jnp.split(qkv.reshape(G * B, S, 3 * D), 3, axis=-1)
+
+        def split4(t):
+            return t.reshape(G * B, S, self.num_heads, head_dim)
+
+        attn = xla_attention_bshd(split4(q), split4(k), split4(v))
+        attn = attn.reshape(G, B * S, D)
+        y = fused_out_mlp(
+            attn, xf, w_out, b_out_g, ln2_s, ln2_b, w1, b1_g, w2, b2_g,
+            quant, 256, interpret,
+        )
+        return y.reshape(G, B, S, D)

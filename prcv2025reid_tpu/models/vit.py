@@ -96,6 +96,7 @@ class MERVisionTransformer(nn.Module):
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
     resln_impl: str = "xla"
+    block_impl: str = "xla"  # see MERBlock.block_impl
 
     def setup(self):
         num_patches = (self.image_size // self.patch_size) ** 2
@@ -139,6 +140,7 @@ class MERVisionTransformer(nn.Module):
                 attn_impl=self.attn_impl,
                 mlp_impl=self.mlp_impl,
                 enable_mer=self.enable_mer,
+                block_impl=self.block_impl,
                 name=f"block_{i}",
             )
             for i in range(self.num_layers)
@@ -179,6 +181,16 @@ class MERVisionTransformer(nn.Module):
 
         if deterministic and self._use_fused_resln():
             return self._trunk_fused(x, expert_ids)
+
+        if deterministic:
+            # Only the CLS row of the last block is ever consumed: compute
+            # q/out-proj/MLP for that single token (exact math, ~7% of model
+            # FLOPs — see MERBlock.cls_only_call).
+            for block in self.blocks[:-1]:
+                x = block(x, expert_ids, deterministic=True)
+            cls = self.blocks[-1].cls_only_call(x, expert_ids)
+            cls = ln_apply(cls, *self.ln_final())
+            return self.proj(cls)
 
         for block in self.blocks:
             x = block(x, expert_ids, deterministic=deterministic)

@@ -1,0 +1,425 @@
+#!/usr/bin/env python
+"""Roofline microbenchmarks for the ViT-B/16 embed path (v5e, 1 chip).
+
+Answers the round-2 performance questions with isolated, in-jit measurements
+(docs/performance.md records the results):
+
+  1. What is the TRUE matmul roofline in FLOP/s (2*M*N*K convention) for
+     XLA bf16, XLA int8, Pallas/Mosaic bf16, Pallas/Mosaic int8 at the
+     model's shapes?  (Round 1's "9.2k embeds/s speed of light" counted
+     MACs, not FLOPs — ViT-B/16 @197 tokens is ~35 GFLOP/image, so the
+     bf16 ceiling is ~162e12/35e9 = 4.6k embeds/s; 5k+ requires int8.)
+  2. How much does f32-vs-bf16 softmax cost in the XLA attention?
+  3. What does a fused LN+quantize epilogue cost vs separate passes?
+
+Timing protocol (CLAUDE.md): lax.fori_loop INSIDE one jit with an
+iteration-dependent input so XLA cannot hoist the body; completion forced by
+a host fetch of a scalar checksum.  block_until_ready is NOT trusted through
+the axon tunnel.
+
+Usage: python tools/perf_microbench.py [probe ...]
+Probes: xla_bf16 xla_int8 pallas_bf16 pallas_int8 attn ln_quant all
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prcv2025reid_tpu.utils.jax_setup import enable_compile_cache
+
+import jax as _jax_early
+
+if os.environ.get("PRCV_CPU", "0") == "1":
+    # a sitecustomize force-sets JAX_PLATFORMS=axon; override AFTER import
+    _jax_early.config.update("jax_platforms", "cpu")
+
+# ViT-B/16 embed-path shapes: rows = B*S = 128*197 = 25216 (pad to 25344),
+# the MLP matmul [rows, 768] @ [768, 3072] is the biggest single matmul.
+_ON_TPU = _jax_early.default_backend() not in ("cpu",)
+M, K, N = (25344, 768, 3072) if _ON_TPU else (512, 768, 3072)
+ITERS = 30 if _ON_TPU else 2
+
+
+def timed(fn, *args, flops_per_iter: float, label: str, unit: str = "TFLOP/s"):
+    jfn = jax.jit(fn)
+    checksum = float(jfn(*args))  # compile + warm
+    assert np.isfinite(checksum), f"{label}: non-finite checksum"
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jfn(*args))  # host fetch = completion barrier
+        dt = time.perf_counter() - t0
+        best = max(best, flops_per_iter * ITERS / dt)
+    print(f"{label:>28s}: {best / 1e12:8.2f} {unit}  "
+          f"({ITERS} iters, {flops_per_iter / 1e9:.1f} GFLOP/iter)")
+    return best
+
+
+def probe_xla_bf16():
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.bfloat16)
+
+    def fn(x, w):
+        def body(i, acc):
+            xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+            y = jnp.dot(xi, w)
+            return acc + y[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    return timed(fn, x, w, flops_per_iter=2.0 * M * K * N, label="XLA bf16 matmul")
+
+
+def probe_xla_int8():
+    xq = jax.random.randint(jax.random.PRNGKey(0), (M, K), -127, 127, jnp.int8)
+    wq = jax.random.randint(jax.random.PRNGKey(1), (K, N), -127, 127, jnp.int8)
+
+    def fn(xq, wq):
+        def body(i, acc):
+            xi = xq + (i % 2).astype(jnp.int8)  # iteration-dependent
+            y = jax.lax.dot_general(
+                xi, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc + y[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    return timed(fn, xq, wq, flops_per_iter=2.0 * M * K * N,
+                 label="XLA int8 matmul", unit="TOP/s")
+
+
+def _pallas_matmul(x, w, acc_dtype, out_dtype, block_rows=256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        ).astype(out_dtype)
+
+    m, k = x.shape
+    n = w.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(m // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, k), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, n), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k * x.dtype.itemsize + k * n * w.dtype.itemsize
+            + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(x, w)
+
+
+def probe_pallas_bf16():
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.bfloat16)
+
+    def fn(x, w):
+        def body(i, acc):
+            xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+            y = _pallas_matmul(xi, w, jnp.float32, jnp.bfloat16)
+            return acc + y[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    return timed(fn, x, w, flops_per_iter=2.0 * M * K * N,
+                 label="Pallas bf16 matmul")
+
+
+def probe_pallas_int8():
+    xq = jax.random.randint(jax.random.PRNGKey(0), (M, K), -127, 127, jnp.int8)
+    wq = jax.random.randint(jax.random.PRNGKey(1), (K, N), -127, 127, jnp.int8)
+
+    def fn(xq, wq):
+        def body(i, acc):
+            xi = xq + (i % 2).astype(jnp.int8)
+            y = _pallas_matmul(xi, wq, jnp.int32, jnp.int32)
+            return acc + y[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    return timed(fn, xq, wq, flops_per_iter=2.0 * M * K * N,
+                 label="Pallas int8 matmul", unit="TOP/s")
+
+
+def probe_attn():
+    """Full-model-shaped attention: [B=128, S=197, H=12, Dh=64], f32 vs bf16
+    softmax.  FLOPs = 2*B*H*S*S*Dh*2 (QK^T and PV)."""
+    B, S, H, Dh = (128, 197, 12, 64) if _ON_TPU else (4, 197, 12, 64)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, Dh), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, Dh), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, Dh), jnp.bfloat16)
+    flops = 2.0 * B * H * S * S * Dh * 2
+
+    def make(softmax_dtype):
+        def fn(q, k, v):
+            def body(i, acc):
+                qi = q + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                s = jnp.einsum("bqhd,bkhd->bhqk", qi, k,
+                               preferred_element_type=softmax_dtype)
+                s = s * (1.0 / np.sqrt(Dh))
+                p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+                o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+                return acc + o[0, 0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        return fn
+
+    timed(make(jnp.float32), q, k, v, flops_per_iter=flops,
+          label="XLA attn f32 softmax")
+    timed(make(jnp.bfloat16), q, k, v, flops_per_iter=flops,
+          label="XLA attn bf16 softmax")
+
+
+def probe_ln_quant():
+    """LN -> per-row int8 quantize -> int8 matmul, all-XLA: does the quant
+    epilogue fuse, and what does the full quantized linear cost vs bf16?"""
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.bfloat16)
+    scale = jnp.ones((K,), jnp.float32)
+    bias = jnp.zeros((K,), jnp.float32)
+    # static per-column weight quant
+    w_s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True) / 127.0
+    wq = jnp.round(w.astype(jnp.float32) / w_s).astype(jnp.int8)
+
+    def fn(x, wq, w_s):
+        def body(i, acc):
+            xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+            xf = xi.astype(jnp.float32)
+            mu = xf.mean(axis=-1, keepdims=True)
+            var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+            y = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+            x_s = jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 127.0
+            yq = jnp.round(y / x_s).astype(jnp.int8)
+            o32 = jax.lax.dot_general(
+                yq, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            o = o32.astype(jnp.float32) * x_s * w_s
+            return acc + o[0, 0]
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    timed(fn, x, wq, w_s, flops_per_iter=2.0 * M * K * N,
+          label="XLA LN+quant+int8 matmul", unit="TOP/s(effective)")
+
+
+def probe_ln_variants():
+    """Residual+LayerNorm at exact model shapes [1,128,197,768]: the trace
+    shows XLA's convert_reduce_fusion costs ~2.05 ms per site (13 sites =
+    50% of the embed step) vs a ~0.19 ms traffic bound.  Which formulation
+    compiles fast?"""
+    shape = (1, 128, 197, 768) if _ON_TPU else (1, 4, 197, 768)
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16)
+    br = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.bfloat16)
+    scale = jnp.ones((768,), jnp.float32)
+    bias = jnp.zeros((768,), jnp.float32)
+    # traffic: read x, branch; write x2, normalized out
+    nbytes = 4 * x.size * 2
+
+    def v_current(x, br):
+        x2 = x + br
+        xf = x2.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return x2, (y * scale + bias).astype(x.dtype)
+
+    def v_fast_var(x, br):
+        x2 = x + br
+        xf = x2.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        m2 = jnp.square(xf).mean(axis=-1, keepdims=True)
+        var = m2 - jnp.square(mu)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return x2, (y * scale + bias).astype(x.dtype)
+
+    def v_flat2d(x, br):
+        x2 = x + br
+        xf = x2.reshape(-1, 768).astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return x2, ((y * scale + bias).astype(x.dtype)).reshape(x.shape)
+
+    def v_bf16_sum(x, br):
+        # stats via dtype-accumulated sums straight off the bf16 array
+        x2 = x + br
+        mu = jnp.mean(x2, axis=-1, keepdims=True, dtype=jnp.float32)
+        m2 = jnp.mean(
+            x2.astype(jnp.float32) * x2.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        var = m2 - jnp.square(mu)
+        y = (x2.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + 1e-5)
+        return x2, (y * scale + bias).astype(x.dtype)
+
+    def v_matmul_stats(x, br):
+        # stats via MXU: ones-matmul computes sum and sum-of-squares
+        x2 = x + br
+        xf = x2.astype(jnp.float32)
+        ones = jnp.ones((768, 128), jnp.float32) / 768.0
+        mu = (xf @ ones)[..., :1]
+        m2 = ((xf * xf) @ ones)[..., :1]
+        var = m2 - jnp.square(mu)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return x2, (y * scale + bias).astype(x.dtype)
+
+    variants = {
+        "current (2-pass var)": v_current,
+        "fast var (E[x2]-mu2)": v_fast_var,
+        "flattened 2D": v_flat2d,
+        "bf16-in f32-acc sums": v_bf16_sum,
+        "MXU ones-matmul stats": v_matmul_stats,
+    }
+    for name, f in variants.items():
+        def fn(x, br, f=f):
+            def body(i, carry):
+                x2, acc = carry
+                xi = x2 + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                nx, y = f(xi, br)
+                return nx, acc + y[0, 0, 0, 0].astype(jnp.float32)
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0.0)))
+            return acc
+        timed(fn, x, br, flops_per_iter=float(nbytes), label=f"res+LN {name}",
+              unit="GB/s(traffic)")
+
+
+def probe_bw():
+    """Achievable HBM bandwidth through an elementwise pass (read+write)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (25344, 768), jnp.bfloat16)
+    nbytes = float(2 * x.size * x.dtype.itemsize)
+
+    def fn(x):
+        def body(i, carry):
+            x, acc = carry
+            y = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+            return y, acc + y[0, 0].astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0.0)))
+        return acc
+
+    timed(fn, x, flops_per_iter=nbytes, label="copy r+w bandwidth",
+          unit="TB/s")
+
+
+def probe_floor():
+    """Is there a fixed per-op floor?  Time an elementwise pass at 4 sizes;
+    linear scaling = bandwidth-bound, flat = op-overhead-bound."""
+    for rows in (1584, 6336, 25344, 101376):
+        x = jax.random.normal(jax.random.PRNGKey(0), (rows, 768), jnp.bfloat16)
+        nbytes = float(2 * x.size * x.dtype.itemsize)
+
+        def fn(x):
+            def body(i, carry):
+                x, acc = carry
+                y = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                return y, acc + y[0, 0].astype(jnp.float32)
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0.0)))
+            return acc
+
+        timed(fn, x, flops_per_iter=nbytes, label=f"copy r+w rows={rows}",
+              unit="TB/s")
+
+
+def probe_miniblock():
+    """Reproduce the in-model residual+LN+matmul pattern that traces at
+    2.05 ms/site (convert_reduce_fusion) vs 0.86 ms isolated, and test
+    fusion-shape variants against it."""
+    shape = (1, 128, 197, 768) if _ON_TPU else (1, 4, 197, 768)
+    G, B, S, D = shape
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16)
+    br = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(2), (1, D, 3 * D), jnp.bfloat16)
+    scale = jnp.ones((D,), jnp.float32)
+    bias = jnp.zeros((D,), jnp.float32)
+    # per iter: residual+LN traffic + the qkv matmul
+    flops = 2.0 * G * B * S * D * 3 * D
+
+    def ln(xf):
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+    def v_model(x, br):
+        # the model pattern: x2 = x + branch; y = LN(x2); qkv = y @ w
+        x2 = x + br
+        y = ln(x2.astype(jnp.float32)).astype(x.dtype)
+        qkv = jnp.einsum("gbsi,gio->gbso", y, w)
+        return x2, qkv
+
+    def v_barrier(x, br):
+        x2 = x + br
+        x2, = jax.lax.optimization_barrier((x2,))
+        y = ln(x2.astype(jnp.float32)).astype(x.dtype)
+        qkv = jnp.einsum("gbsi,gio->gbso", y, w)
+        return x2, qkv
+
+    def v_flat(x, br):
+        x2 = (x + br).reshape(-1, D)
+        y = ln(x2.astype(jnp.float32)).astype(x.dtype)
+        qkv = (y @ w[0]).reshape(G, B, S, 3 * D)
+        return x2.reshape(shape), qkv
+
+    def v_flat_barrier(x, br):
+        x2 = (x + br).reshape(-1, D)
+        x2, = jax.lax.optimization_barrier((x2,))
+        y = ln(x2.astype(jnp.float32)).astype(x.dtype)
+        qkv = (y @ w[0]).reshape(G, B, S, 3 * D)
+        return x2.reshape(shape), qkv
+
+    for name, f in {
+        "model pattern": v_model,
+        "opt-barrier": v_barrier,
+        "flat 2D": v_flat,
+        "flat 2D + barrier": v_flat_barrier,
+    }.items():
+        def fn(x, br, f=f):
+            def body(i, carry):
+                x, acc = carry
+                xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                x2, qkv = f(xi, br)
+                return x2, acc + qkv[0, 0, 0, 0].astype(jnp.float32)
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0.0)))
+            return acc
+        timed(fn, x, br, flops_per_iter=flops, label=f"miniblock {name}")
+
+
+PROBES = {
+    "xla_bf16": probe_xla_bf16,
+    "xla_int8": probe_xla_int8,
+    "pallas_bf16": probe_pallas_bf16,
+    "pallas_int8": probe_pallas_int8,
+    "attn": probe_attn,
+    "ln_quant": probe_ln_quant,
+    "ln_variants": probe_ln_variants,
+    "bw": probe_bw,
+    "miniblock": probe_miniblock,
+    "floor": probe_floor,
+}
+
+
+def main():
+    enable_compile_cache()
+    names = sys.argv[1:] or ["all"]
+    if names == ["all"]:
+        names = list(PROBES)
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    for name in names:
+        PROBES[name]()
+
+
+if __name__ == "__main__":
+    main()
