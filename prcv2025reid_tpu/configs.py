@@ -188,6 +188,10 @@ class TrainingConfig:
     # "fused_int8" (additionally int8-quantized matmuls for the v5e int8 MXU;
     # serving only — bench.py gates it on embedding parity vs the bf16 path).
     block_impl: str = "xla"
+    # jax.checkpoint on every transformer block: the backward recomputes
+    # block activations instead of keeping them live — ~1/3 more forward
+    # FLOPs for ~12x less activation memory, enabling larger P*K batches.
+    remat_blocks: bool = False
     rank_topk: int = 100  # submission export depth (tools/eval_mm_protocol.py:629-643)
 
     # populated at runtime

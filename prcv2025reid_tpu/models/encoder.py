@@ -46,6 +46,7 @@ class UnifiedEncoder(nn.Module):
     mlp_impl: str = "auto"
     resln_impl: str = "xla"
     block_impl: str = "xla"
+    remat_blocks: bool = False
 
     @classmethod
     def from_config(cls, config: TrainingConfig, dtype=None) -> "UnifiedEncoder":
@@ -73,6 +74,7 @@ class UnifiedEncoder(nn.Module):
             mlp_impl="auto" if config.use_fused_mlp else "xla",
             resln_impl="auto" if config.use_fused_resln else "xla",
             block_impl=config.block_impl,
+            remat_blocks=config.remat_blocks,
         )
 
     def setup(self):
@@ -95,6 +97,7 @@ class UnifiedEncoder(nn.Module):
             mlp_impl=self.mlp_impl,
             resln_impl=self.resln_impl,
             block_impl=self.block_impl,
+            remat_blocks=self.remat_blocks,
         )
         self.text = TextTower(
             vocab_size=self.text_vocab,

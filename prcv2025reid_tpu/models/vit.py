@@ -97,6 +97,11 @@ class MERVisionTransformer(nn.Module):
     mlp_impl: str = "auto"
     resln_impl: str = "xla"
     block_impl: str = "xla"  # see MERBlock.block_impl
+    # rematerialize each block in the backward (jax.checkpoint): saves only
+    # block inputs, recomputing activations during the backward — ~1/3 more
+    # forward FLOPs for ~12x less activation memory, enabling larger P*K
+    # training batches (config.remat_blocks).
+    remat_blocks: bool = False
 
     def setup(self):
         num_patches = (self.image_size // self.patch_size) ** 2
@@ -125,9 +130,17 @@ class MERVisionTransformer(nn.Module):
         )
         n_exp = len(self.modalities)
         last = max(1, self.num_layers - 1)
+        # static_argnums count self as 0: expert_ids (2) and deterministic
+        # (3) are static — and the trunk must pass them POSITIONALLY
+        # (jax.checkpoint's static_argnums does not cover kwargs)
+        block_cls = (
+            nn.remat(MERBlock, static_argnums=(2, 3))
+            if self.remat_blocks
+            else MERBlock
+        )
         # Linearly scaled drop-path per depth (reference: clip_backbone.py:196-207).
         self.blocks = [
-            MERBlock(
+            block_cls(
                 embed_dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_dim=self.mlp_dim,
@@ -187,13 +200,13 @@ class MERVisionTransformer(nn.Module):
             # q/out-proj/MLP for that single token (exact math, ~7% of model
             # FLOPs — see MERBlock.cls_only_call).
             for block in self.blocks[:-1]:
-                x = block(x, expert_ids, deterministic=True)
+                x = block(x, expert_ids, True)
             cls = self.blocks[-1].cls_only_call(x, expert_ids)
             cls = ln_apply(cls, *self.ln_final())
             return self.proj(cls)
 
         for block in self.blocks:
-            x = block(x, expert_ids, deterministic=deterministic)
+            x = block(x, expert_ids, deterministic)
         x = ln_apply(x, *self.ln_final())
         return self.proj(x[:, :, 0])
 

@@ -1,0 +1,53 @@
+"""remat_blocks (jax.checkpoint per transformer block) must not change any
+numbers — it only trades recompute for activation memory."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prcv2025reid_tpu.models.vit import MERVisionTransformer
+
+
+def _trunk(remat):
+    return MERVisionTransformer(
+        embed_dim=64,
+        num_layers=2,
+        num_heads=4,
+        mlp_dim=128,
+        patch_size=16,
+        image_size=32,
+        fusion_dim=32,
+        modalities=("vis", "nir"),
+        remat_blocks=remat,
+    )
+
+
+def test_remat_eval_and_grads_match():
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+    ref_model = _trunk(False)
+    variables = ref_model.init(jax.random.PRNGKey(1), imgs)
+    remat_model = _trunk(True)
+
+    # eval path (cls_only last block) must run and match through the wrapper
+    ref_out = ref_model.apply(variables, imgs)
+    out = remat_model.apply(variables, imgs)
+    np.testing.assert_allclose(out, ref_out, rtol=1e-6, atol=1e-6)
+
+    # training grads identical (remat changes scheduling, not math)
+    def loss(model):
+        def f(params):
+            y = model.apply(
+                {"params": params},
+                imgs,
+                deterministic=False,
+                rngs={"droppath": jax.random.PRNGKey(2)},
+            )
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(ref_model))(variables["params"])
+    g_remat = jax.grad(loss(remat_model))(variables["params"])
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_remat = jax.tree_util.tree_leaves(g_remat)
+    assert len(flat_ref) == len(flat_remat)
+    for a, b in zip(flat_ref, flat_remat):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -185,6 +185,77 @@ def probe_attn():
           label="XLA attn bf16 softmax")
 
 
+def probe_attn2():
+    """Alternative attention implementations at model shapes — attention is
+    45% of the embed step (trace attribution), far off its flop/byte floor."""
+    B, S, H, Dh = (128, 197, 12, 64) if _ON_TPU else (4, 197, 12, 64)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, Dh), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, Dh), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, Dh), jnp.bfloat16)
+    flops = 2.0 * B * H * S * S * Dh * 2
+
+    def run(name, f):
+        def fn(q, k, v):
+            def body(i, acc):
+                qi = q + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                o = f(qi, k, v)
+                return acc + o[0, 0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        try:
+            timed(fn, q, k, v, flops_per_iter=flops, label=name)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:100]}")
+
+    # jax's own SDPA entry point (XLA may pick a fused TPU path)
+    run("jax.nn.dot_product_attention",
+        lambda q, k, v: jax.nn.dot_product_attention(q, k, v))
+
+    # current model path for comparison
+    from prcv2025reid_tpu.ops.attention import xla_attention_bshd
+    run("model xla_attention_bshd", xla_attention_bshd)
+
+    # explicit transposed BHSD layout (the "classic" form)
+    def bhsd(q, k, v):
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, kt) * (Dh**-0.5)
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vt).transpose(0, 2, 1, 3)
+    run("explicit BHSD transposes", bhsd)
+
+    # upstream splash attention kernel (Mosaic); S=197 padded to 256 with a
+    # key mask (q rows >=197 compute garbage and are discarded)
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    Sp = 256
+    maskarr = np.zeros((Sp, Sp), dtype=bool)
+    maskarr[:, :S] = True
+    mk = sm.MultiHeadMask([sm.NumpyMask(maskarr) for _ in range(H)])
+    kernel = sk.make_splash_mha_single_device(mk)
+
+    def splash(q, k, v):
+        pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
+        qt = jnp.pad(q * (Dh**-0.5), pad).transpose(0, 2, 1, 3)
+        kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
+        vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
+        out = jax.vmap(kernel)(qt, kt, vt)
+        return out.transpose(0, 2, 1, 3)[:, :S]
+
+    try:
+        ref = xla_attention_bshd(q, k, v)
+        got = splash(q, k, v)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                    - got.astype(jnp.float32))))
+        print(f"splash parity max|err| vs xla: {err:.5f}")
+        run("splash attention (Mosaic)", splash)
+    except Exception as e:
+        print(f"splash: FAILED {type(e).__name__}: {str(e)[:120]}")
+
+
 def probe_ln_quant():
     """LN -> per-row int8 quantize -> int8 matmul, all-XLA: does the quant
     epilogue fuse, and what does the full quantized linear cost vs bf16?"""
@@ -397,7 +468,62 @@ def probe_miniblock():
         timed(fn, x, br, flops_per_iter=flops, label=f"miniblock {name}")
 
 
+def probe_fc2_fusion():
+    """Reproduce the REAL in-model pathology: the fc2 matmul gets the
+    residual-add + next-LN statistics fused in as epilogue
+    (convert_reduce_fusion, 2.05 ms/site vs ~0.7 ms for a standalone fc2
+    dot).  Test optimization_barrier placements that force the dot to emit
+    standalone."""
+    B, S, D, F = (128, 197, 768, 3072) if _ON_TPU else (4, 197, 768, 3072)
+    h = jax.random.normal(jax.random.PRNGKey(0), (1, B, S, F), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, B, S, D), jnp.bfloat16)
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (1, F, D), jnp.bfloat16) * 0.02
+    scale = jnp.ones((D,), jnp.float32)
+    bias = jnp.zeros((D,), jnp.float32)
+    flops = 2.0 * B * S * F * D
+
+    def ln(xf):
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+    def tail(x2):
+        y = ln(x2.astype(jnp.float32)).astype(x2.dtype)
+        return x2, y
+
+    def v_natural(h, x):
+        fc2 = jnp.einsum("gbsf,gfd->gbsd", h, w2)
+        return tail(x + fc2)
+
+    def v_barrier_dot(h, x):
+        fc2 = jnp.einsum("gbsf,gfd->gbsd", h, w2)
+        fc2, = jax.lax.optimization_barrier((fc2,))
+        return tail(x + fc2)
+
+    def v_barrier_res(h, x):
+        fc2 = jnp.einsum("gbsf,gfd->gbsd", h, w2)
+        x2 = x + fc2
+        x2, = jax.lax.optimization_barrier((x2,))
+        return tail(x2)
+
+    for name, f in {
+        "natural (model)": v_natural,
+        "barrier after dot": v_barrier_dot,
+        "barrier after residual": v_barrier_res,
+    }.items():
+        def fn(h, x, f=f):
+            def body(i, carry):
+                x, acc = carry
+                hi = h + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                x2, y = f(hi, x)
+                return x2, acc + y[0, 0, 0, 0].astype(jnp.float32)
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0.0)))
+            return acc
+        timed(fn, h, x, flops_per_iter=flops, label=f"fc2+res+LN {name}")
+
+
 PROBES = {
+    "fc2_fusion": probe_fc2_fusion,
     "xla_bf16": probe_xla_bf16,
     "xla_int8": probe_xla_int8,
     "pallas_bf16": probe_pallas_bf16,
@@ -408,6 +534,7 @@ PROBES = {
     "bw": probe_bw,
     "miniblock": probe_miniblock,
     "floor": probe_floor,
+    "attn2": probe_attn2,
 }
 
 

@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _load_model(model_path):
+def _load_model(model_path, block_impl=None):
     import jax
     import jax.numpy as jnp
 
@@ -38,6 +38,10 @@ def _load_model(model_path):
     with open(os.path.join(model_path, "host_state.json")) as f:
         host = json.load(f)
     config = TrainingConfig.from_json(host["config"])
+    if block_impl is not None:
+        # serving-only override: the fused / int8 block kernels change the
+        # compute path, never the checkpoint contract (same param tree)
+        config = config.replace(block_impl=block_impl)
     model = MultiModalReIDModel(config=config, num_classes=host["num_classes"])
     B, S = 2, config.image_size
     variables = model.init(
@@ -72,6 +76,13 @@ def main(argv=None):
         help="default = checkpoint config.inference_batch_size",
     )
     ap.add_argument("--benchmark", action="store_true", help="print embeds/s and exit")
+    ap.add_argument(
+        "--block_impl", default=None,
+        choices=("xla", "fused", "fused_int8"),
+        help="override the trunk compute path for serving (default = "
+        "checkpoint config; 'fused_int8' is the measured-fastest on v5e — "
+        "docs/performance.md)",
+    )
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -86,7 +97,7 @@ def main(argv=None):
     from prcv2025reid_tpu.data.tokenizer import build_tokenizer
     from prcv2025reid_tpu.training.train_step import make_combo_embed_step
 
-    config, model, variables = _load_model(args.model_path)
+    config, model, variables = _load_model(args.model_path, args.block_impl)
     B = args.batch_size or config.inference_batch_size
     Mv, S = len(config.vision_modalities), config.image_size
     mod_slot = list(config.vision_modalities).index(args.modality) if args.modality != "text" else None

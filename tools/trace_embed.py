@@ -70,6 +70,14 @@ def main():
     checksum = float(out.astype(jnp.float32).sum())  # force completion
     print(f"compiled; checksum={checksum:.4f}", file=sys.stderr)
 
+    # dump the matching HLO so tools/hlo_attr.py can join op times to model
+    # components (the join is only valid for the same compile)
+    os.makedirs(args.out, exist_ok=True)
+    hlo_path = os.path.join(args.out, "embed_hlo.txt")
+    with open(hlo_path, "w") as f:
+        f.write(embed.lower(variables, images).compile().as_text())
+    print(f"HLO written to {hlo_path}", file=sys.stderr)
+
     with trace(args.out):
         for _ in range(args.iters):
             out = embed(variables, images)
