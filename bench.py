@@ -40,8 +40,13 @@ def main():
     # path may only become the headline number if its embeddings are
     # retrieval-equivalent to the XLA path (min cosine >= 0.999 on a probe
     # batch) — checked below.
+    # fused_int8 is the measured-fastest path (docs/performance.md) and is
+    # gated below on embedding equivalence, so it is measured by default
+    default_impls = "fused_int8" if on_tpu else ""
     extra_impls = [
-        s for s in os.environ.get("PRCV_BENCH_IMPLS", "").split(",") if s
+        s
+        for s in os.environ.get("PRCV_BENCH_IMPLS", default_impls).split(",")
+        if s
     ]
     if os.environ.get("PRCV_BENCH_PALLAS", "0") == "1":
         extra_impls.append("pallas")
@@ -51,6 +56,7 @@ def main():
             compute_dtype="bfloat16" if on_tpu else "float32",
             use_pallas_attention=(impl == "pallas"),
             use_fused_resln=(impl == "resln"),
+            attn_backend="splash" if impl == "splash" else "xla",
             block_impl=impl if impl.startswith("fused") else "xla",
         )
         model = MultiModalReIDModel(config=config, num_classes=400)

@@ -174,6 +174,10 @@ class TrainingConfig:
     # einsum path on v5e at S=197 (docs/performance.md); kernels kept for
     # future tuning. 'False' selects the XLA path everywhere.
     use_pallas_attention: bool = False
+    # attention core backend when use_pallas_attention is off: "xla" (einsum,
+    # default) or "splash" (upstream Mosaic flash kernel, S padded to 128
+    # multiples under a key mask — docs/performance.md for the measurement).
+    attn_backend: str = "xla"
     # Pallas fused fc1-gelu-fc2 kernel: measured SLOWER than XLA on v5e (the
     # erf GELU is VPU-bound and Mosaic serializes it against the MXU); kept
     # for future scheduling work. docs/performance.md has the numbers.

@@ -70,7 +70,7 @@ class UnifiedEncoder(nn.Module):
             drop_path=config.drop_path,
             modalities=config.vision_modalities,
             dtype=dtype if dtype is not None else jnp.dtype(config.compute_dtype),
-            attn_impl="auto" if config.use_pallas_attention else "xla",
+            attn_impl="auto" if config.use_pallas_attention else config.attn_backend,
             mlp_impl="auto" if config.use_fused_mlp else "xla",
             resln_impl="auto" if config.use_fused_resln else "xla",
             block_impl=config.block_impl,

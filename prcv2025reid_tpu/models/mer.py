@@ -292,15 +292,22 @@ class MERAttention(nn.Module):
 
             impl = "pallas" if _pallas_available() else "xla"
 
-        if impl == "xla":
+        if impl in ("xla", "splash"):
             # transpose-free path: stay in [N, S, H, Dh] and let einsum fold
-            # the head split into the matmuls (see xla_attention_bshd)
-            from prcv2025reid_tpu.ops.attention import xla_attention_bshd
+            # the head split into the matmuls (see xla_attention_bshd);
+            # 'splash' swaps in the Mosaic flash kernel (no [S,S] scores in
+            # HBM) with the same layout contract
+            from prcv2025reid_tpu.ops.attention import (
+                splash_attention_bshd,
+                xla_attention_bshd,
+            )
+
+            core = xla_attention_bshd if impl == "xla" else splash_attention_bshd
 
             def split4(t):
                 return t.reshape(G * B, S, self.num_heads, head_dim)
 
-            out = xla_attention_bshd(split4(q), split4(k), split4(v))
+            out = core(split4(q), split4(k), split4(v))
             out = out.reshape(G, B, S, D)
         else:
             def split_heads(t):

@@ -73,6 +73,43 @@ def _pallas_available() -> bool:
         return False
 
 
+@functools.lru_cache(maxsize=8)
+def _splash_kernel(num_heads: int, seq_len: int, padded: int):
+    """Build (once per shape) the upstream splash-attention kernel with the
+    197->256 pad handled by a key mask: q rows >= seq_len compute garbage
+    that the caller discards; keys >= seq_len are masked for every query."""
+    import numpy as np
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    maskarr = np.zeros((padded, padded), dtype=bool)
+    maskarr[:, :seq_len] = True
+    mk = sm.MultiHeadMask([sm.NumpyMask(maskarr) for _ in range(num_heads)])
+    return sk.make_splash_mha_single_device(mk)
+
+
+def splash_attention_bshd(
+    q: jnp.ndarray,  # [B, S, H, Dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Flash-style attention via the upstream Mosaic splash kernel (the TPU
+    counterpart of the reference's SDPA/flash call, mer_lora.py:170-190).
+    Never materializes the [S, S] scores in HBM.  S is padded to a multiple
+    of 128 under a key mask (exact math for the first S rows)."""
+    B, S, H, Dh = q.shape
+    padded = -(-S // 128) * 128
+    kernel = _splash_kernel(H, S, padded)
+    pad = ((0, 0), (0, padded - S), (0, 0), (0, 0))
+    qt = jnp.pad(q * (Dh**-0.5), pad).transpose(0, 2, 1, 3)
+    kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
+    out = jax.vmap(kernel)(qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)[:, :S].astype(q.dtype)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
