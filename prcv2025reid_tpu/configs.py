@@ -192,6 +192,10 @@ class TrainingConfig:
     # "fused_int8" (additionally int8-quantized matmuls for the v5e int8 MXU;
     # serving only — bench.py gates it on embedding parity vs the bf16 path).
     block_impl: str = "xla"
+    # Native C++ host decode: JPEG decode + crop + resize in one pass through
+    # data/native/image_decode.cpp (libjpeg + PIL-matching resampler); builds
+    # on first use, falls back to PIL per-image when unavailable.
+    use_native_decode: bool = False
     # jax.checkpoint on every transformer block: the backward recomputes
     # block activations instead of keeping them live — ~1/3 more forward
     # FLOPs for ~12x less activation memory, enabling larger P*K batches.

@@ -101,29 +101,85 @@ class ImageTransform:
                 )
             else:
                 img = img.resize((S, S), Image.BILINEAR)
-            if self.flip and rng.random() < 0.5:
-                img = img.transpose(Image.FLIP_LEFT_RIGHT)
             x = np.asarray(img, np.uint8)
-            if self.color_jitter > 0:
-                x = x.astype(np.int16)
-                b = rng.uniform(1 - self.color_jitter, 1 + self.color_jitter)
-                c = rng.uniform(1 - self.color_jitter, 1 + self.color_jitter)
-                if rng.random() < 0.5:
-                    x = np.clip(x * b, 0, 255)
-                    gray = x.mean()
-                    x = np.clip((x - gray) * c + gray, 0, 255)
-                else:
-                    gray = x.mean()
-                    x = np.clip((x - gray) * c + gray, 0, 255)
-                    x = np.clip(x * b, 0, 255)
-                x = x.astype(np.uint8)
-        else:
-            img = img.resize((S, S), Image.BILINEAR)
-            x = np.asarray(img, np.uint8)
+            return self._flip_jitter_erase(x, rng)
+        img = img.resize((S, S), Image.BILINEAR)
+        return np.asarray(img, np.uint8)
 
-        if self.train and rng is not None and self.random_erase > 0:
-            if rng.random() < self.random_erase:
-                x = self._erase(x, rng)
+    def load_and_transform(
+        self,
+        path: str,
+        rng: Optional[np.random.Generator] = None,
+        use_native: bool = False,
+    ) -> np.ndarray:
+        """File -> transformed uint8 [S, S, 3].
+
+        ``use_native=True`` routes JPEG decode + crop + resize through the
+        C++ worker (data/native_image.py, one pass, PIL-matching resample);
+        anything it cannot handle falls back to the PIL path.  The RNG draw
+        ORDER is identical in both paths (crop box, flip, jitter, erase), so
+        a run is reproducible as long as each image keeps taking the same
+        path.
+        """
+        if use_native:
+            x = self._native_load(path, rng)
+            if x is not None:
+                return x
+        img = Image.open(path).convert("RGB")
+        return self(img, rng)
+
+    def _native_load(
+        self, path: str, rng: Optional[np.random.Generator]
+    ) -> Optional[np.ndarray]:
+        from prcv2025reid_tpu.data import native_image
+
+        if not native_image.available():
+            return None
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return None
+        info = native_image.decode_info(data)
+        if info is None:
+            return None
+        w, h = info
+        S = self.image_size
+        if self.train and rng is not None:
+            box = (
+                _random_resized_crop_params(rng, w, h, (self.crop_scale_min, 1.0))
+                if self.random_crop
+                else None
+            )
+            x = native_image.decode_crop_resize(data, (S, S), box)
+            if x is None:
+                return None
+            return self._flip_jitter_erase(x, rng)
+        return native_image.decode_crop_resize(data, (S, S))
+
+    def _flip_jitter_erase(
+        self, x: np.ndarray, rng: np.random.Generator
+    ) -> np.ndarray:
+        """Shared post-decode train augmentations on a uint8 array (one RNG
+        draw sequence for both the PIL and native decode paths)."""
+        if self.flip and rng.random() < 0.5:
+            x = x[:, ::-1]
+        if self.color_jitter > 0:
+            x = x.astype(np.int16)
+            b = rng.uniform(1 - self.color_jitter, 1 + self.color_jitter)
+            c = rng.uniform(1 - self.color_jitter, 1 + self.color_jitter)
+            if rng.random() < 0.5:
+                x = np.clip(x * b, 0, 255)
+                gray = x.mean()
+                x = np.clip((x - gray) * c + gray, 0, 255)
+            else:
+                gray = x.mean()
+                x = np.clip((x - gray) * c + gray, 0, 255)
+                x = np.clip(x * b, 0, 255)
+            x = x.astype(np.uint8)
+        x = np.ascontiguousarray(x)
+        if self.random_erase > 0 and rng.random() < self.random_erase:
+            x = self._erase(x, rng)
         return x
 
     @staticmethod

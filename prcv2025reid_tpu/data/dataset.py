@@ -177,8 +177,11 @@ class MultiModalDataset:
     # ----- sample production -----
 
     def _load_image(self, path: str, rng: Optional[np.random.Generator]) -> np.ndarray:
-        img = Image.open(path).convert("RGB")
-        return self.transform(img, rng if self.is_training else None)
+        return self.transform.load_and_transform(
+            path,
+            rng if self.is_training else None,
+            use_native=self.config.use_native_decode,
+        )
 
     def get_sample(
         self, idx: int, rng: np.random.Generator, modality_dropout: Optional[float] = None
