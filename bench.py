@@ -90,16 +90,18 @@ def main():
 
             return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
 
+        nb = min(8, B)  # parity-probe batch
+
         @jax.jit
         def embed_once(variables, images):
-            imgs = jnp.zeros((8, Mv, S, S, 3), images.dtype)
-            imgs = imgs.at[:, 0].set(images[:8])
+            imgs = jnp.zeros((nb, Mv, S, S, 3), images.dtype)
+            imgs = imgs.at[:, 0].set(images[:nb])
             return model.apply(
                 variables,
                 imgs,
-                image_mask[:8],
-                tokens[:8],
-                text_mask[:8],
+                image_mask[:nb],
+                tokens[:nb],
+                text_mask[:nb],
                 ("vis",),
                 method=model.encode_subset,
             )
@@ -126,7 +128,15 @@ def main():
         except Exception as e:
             print(f"{impl} path failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    if "xla" in probes:
+    if "xla" not in probes:
+        # no reference embeddings — nothing non-default can be validated, so
+        # nothing non-default may win
+        for impl in list(results):
+            if impl != "xla":
+                print(f"{impl} excluded: xla reference probe unavailable",
+                      file=sys.stderr)
+                del results[impl]
+    else:
         ref = probes["xla"]
         ref_n = ref / (np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-12)
         for impl in list(results):

@@ -223,6 +223,21 @@ class TrainingConfig:
     def vision_modalities(self) -> Tuple[str, ...]:
         return tuple(m for m in self.modalities if m != "text")
 
+    def __post_init__(self):
+        # loud rejection of typoed compute-path selectors: these are raw
+        # string CLI flags, and a silent fallback would serve the wrong path
+        valid_block = {"xla", "fused", "fused_int8",
+                       "fused_interpret", "fused_int8_interpret"}
+        if self.block_impl not in valid_block:
+            raise ValueError(
+                f"block_impl={self.block_impl!r}; valid: {sorted(valid_block)}"
+            )
+        valid_attn = {"xla", "splash"}
+        if self.attn_backend not in valid_attn:
+            raise ValueError(
+                f"attn_backend={self.attn_backend!r}; valid: {sorted(valid_attn)}"
+            )
+
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2

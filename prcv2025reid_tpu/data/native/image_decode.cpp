@@ -179,9 +179,17 @@ int decode_crop_resize(const uint8_t* buf, long len, int left, int top,
   AxisCoeffs hc = precompute(left, left + cw, w, out_w);
   AxisCoeffs vc = precompute(top, top + ch, h, out_h);
 
-  // horizontal pass: [h, w, 3] -> [h, out_w, 3] float
+  // only the rows the vertical pass reads need the horizontal pass (PIL's
+  // ImagingResample does the same restriction)
+  int y_lo = h, y_hi = 0;
+  for (int yy = 0; yy < out_h; ++yy) {
+    y_lo = std::min(y_lo, vc.xmin[yy]);
+    y_hi = std::max(y_hi, vc.xmin[yy] + vc.xsize[yy]);
+  }
+
+  // horizontal pass: rows [y_lo, y_hi) of [h, w, 3] -> [*, out_w, 3] float
   std::vector<float> tmp(static_cast<size_t>(h) * out_w * 3);
-  for (int y = 0; y < h; ++y) {
+  for (int y = y_lo; y < y_hi; ++y) {
     const uint8_t* row = rgb.data() + static_cast<size_t>(y) * w * 3;
     float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
     for (int xx = 0; xx < out_w; ++xx) {

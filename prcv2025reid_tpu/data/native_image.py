@@ -36,7 +36,11 @@ def _cache_dir() -> str:
 
 
 def build_library(force: bool = False) -> Optional[str]:
-    """Compile the shared library once; returns its path or None."""
+    """Compile the shared library once; returns its path or None.
+
+    Compiles to a per-pid temp file and renames atomically so concurrent
+    pipeline workers racing on a cold cache can never observe (or persist) a
+    partially written .so."""
     so_path = os.path.join(_cache_dir(), "libimage_decode.so")
     if (
         os.path.exists(so_path)
@@ -44,16 +48,22 @@ def build_library(force: bool = False) -> Optional[str]:
         and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)
     ):
         return so_path
+    tmp_path = f"{so_path}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-ljpeg", "-o", so_path],
+             "-ljpeg", "-o", tmp_path],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp_path, so_path)
         return so_path
     except Exception:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return None
 
 

@@ -52,30 +52,12 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-_SQRT_HALF = 0.7071067811865476
+from prcv2025reid_tpu.ops.kernel_math import (
+    SQRT_HALF as _SQRT_HALF,
+    gelu_exact as _gelu_exact,
+)
+
 _LN_EPS = 1e-5
-
-
-def _erf_approx(x):
-    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7); Pallas TPU
-    has no erf primitive."""
-    a1, a2, a3, a4, a5 = (
-        0.254829592,
-        -0.284496736,
-        1.421413741,
-        -1.453152027,
-        1.061405429,
-    )
-    p = 0.3275911
-    sign = jnp.sign(x)
-    xa = jnp.abs(x)
-    t = 1.0 / (1.0 + p * xa)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return sign * (1.0 - poly * jnp.exp(-xa * xa))
-
-
-def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf_approx(x * _SQRT_HALF))
 
 
 def _ln_f32(x, scale, bias):

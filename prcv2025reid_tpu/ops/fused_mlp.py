@@ -33,31 +33,11 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-_SQRT_HALF = 0.7071067811865476
-_INV_SQRT_2PI = 0.3989422804014327
-
-
-def _erf_approx(x):
-    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7) — Pallas TPU
-    has no erf primitive; exp is available."""
-    a1, a2, a3, a4, a5 = (
-        0.254829592,
-        -0.284496736,
-        1.421413741,
-        -1.453152027,
-        1.061405429,
-    )
-    p = 0.3275911
-    sign = jnp.sign(x)
-    xa = jnp.abs(x)
-    t = 1.0 / (1.0 + p * xa)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    y = 1.0 - poly * jnp.exp(-xa * xa)
-    return sign * y
-
-
-def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf_approx(x * _SQRT_HALF))
+from prcv2025reid_tpu.ops.kernel_math import (
+    INV_SQRT_2PI as _INV_SQRT_2PI,
+    SQRT_HALF as _SQRT_HALF,
+    gelu_exact as _gelu_exact,
+)
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):

@@ -108,6 +108,16 @@ def test_out_mlp_int8_close(data):
     assert cos.min() > 0.995, cos.min()
 
 
+def test_config_rejects_typoed_paths():
+    from prcv2025reid_tpu.configs import TrainingConfig
+
+    with pytest.raises(ValueError, match="block_impl"):
+        TrainingConfig(block_impl="fused-int8")
+    with pytest.raises(ValueError, match="attn_backend"):
+        TrainingConfig(attn_backend="spash")
+    TrainingConfig(block_impl="fused_int8", attn_backend="splash")  # valid
+
+
 def test_ln_qkv_grad_matches_xla(data):
     def fused(x, s, b):
         return fused_ln_qkv(

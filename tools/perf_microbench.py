@@ -157,6 +157,33 @@ def probe_pallas_int8():
                  label="Pallas int8 matmul", unit="TOP/s")
 
 
+def probe_pallas_sweep():
+    """Mosaic matmul rate vs row-block size (the fused block kernels'
+    block_rows knob) for bf16 and int8."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.bfloat16)
+    xq = jax.random.randint(jax.random.PRNGKey(0), (M, K), -127, 127, jnp.int8)
+    wq = jax.random.randint(jax.random.PRNGKey(1), (K, N), -127, 127, jnp.int8)
+    for R in (512, 1024, 2112):
+        def fn_bf(x, w, R=R):
+            def body(i, acc):
+                xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                y = _pallas_matmul(xi, w, jnp.float32, jnp.bfloat16, block_rows=R)
+                return acc + y[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        timed(fn_bf, x, w, flops_per_iter=2.0 * M * K * N,
+              label=f"Pallas bf16 R={R}")
+
+        def fn_i8(xq, wq, R=R):
+            def body(i, acc):
+                xi = xq + (i % 2).astype(jnp.int8)
+                y = _pallas_matmul(xi, wq, jnp.int32, jnp.int32, block_rows=R)
+                return acc + y[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        timed(fn_i8, xq, wq, flops_per_iter=2.0 * M * K * N,
+              label=f"Pallas int8 R={R}", unit="TOP/s")
+
+
 def probe_attn():
     """Full-model-shaped attention: [B=128, S=197, H=12, Dh=64], f32 vs bf16
     softmax.  FLOPs = 2*B*H*S*S*Dh*2 (QK^T and PV)."""
@@ -535,6 +562,7 @@ PROBES = {
     "miniblock": probe_miniblock,
     "floor": probe_floor,
     "attn2": probe_attn2,
+    "pallas_sweep": probe_pallas_sweep,
 }
 
 

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--trace-steps", type=int, default=3)
     ap.add_argument("--out", default="/tmp/train_trace")
     ap.add_argument("--no-trace", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="enable per-block rematerialization (remat_blocks)")
     args = ap.parse_args()
     P, K = (int(v) for v in args.pk.split("x"))
     B = P * K
@@ -48,6 +50,7 @@ def main():
         compute_dtype="bfloat16" if on_tpu else "float32",
         num_ids_per_batch=P,
         instances_per_id=K,
+        remat_blocks=args.remat,
     )
     num_classes = 400
     model = MultiModalReIDModel(config=config, num_classes=num_classes)
@@ -90,7 +93,7 @@ def main():
     assert np.isfinite(loss)
     print(f"steady state: {args.steps / dt:.2f} it/s "
           f"({B * args.steps / dt:.1f} samples/s) at P={P} K={K} "
-          f"(batch {B}, {Mv} vision modalities + text)")
+          f"(batch {B}, {Mv} vision modalities + text, remat={args.remat})")
 
     if args.no_trace:
         return
