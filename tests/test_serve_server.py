@@ -1,0 +1,131 @@
+"""HTTP embedding server (tools/serve_embed.py --serve): engine + endpoints."""
+import base64
+import io
+import json
+import sys
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, "tools")
+
+
+TINY = dict(
+    vision_hidden_dim=64,
+    vision_layers=2,
+    vision_heads=4,
+    vision_mlp_dim=128,
+    text_hidden_dim=32,
+    text_layers=2,
+    text_heads=4,
+    text_mlp_dim=64,
+    text_vocab_size=100,
+    text_context_length=16,
+    image_size=32,
+    fusion_dim=32,
+    sdm_semantic_dim=32,
+    sdm_num_heads=4,
+    fusion_num_heads=4,
+    compute_dtype="float32",
+    inference_batch_size=4,
+)
+
+
+@pytest.fixture(scope="module")
+def served():
+    import serve_embed
+
+    from prcv2025reid_tpu.configs import TrainingConfig
+    from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+    config = TrainingConfig(**TINY)
+    model = MultiModalReIDModel(config=config, num_classes=3)
+    Mv, S = len(config.vision_modalities), config.image_size
+    import jax.numpy as jnp
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, Mv, S, S, 3), jnp.float32),
+        jnp.ones((2, Mv), jnp.float32),
+        jnp.zeros((2, config.text_context_length), jnp.int32),
+        jnp.ones((2,), jnp.float32),
+        train=False,
+    )
+    engine = serve_embed.make_engine(config, model, variables, 4)
+    srv = serve_embed.make_server(0, "127.0.0.1", config, engine)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield url, engine, config
+    srv.shutdown()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _jpeg_b64(seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((48, 32, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_healthz(served):
+    url, _, config = served
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["fusion_dim"] == config.fusion_dim
+    assert "text" in body["modalities"]
+
+
+def test_embed_images_matches_engine(served):
+    url, (embed_pils, _), config = served
+    b64s = [_jpeg_b64(0), _jpeg_b64(1), _jpeg_b64(2)]
+    code, body = _post(url + "/embed", {"images_b64": b64s, "modality": "nir"})
+    assert code == 200 and body["count"] == 3
+    feats = np.asarray(body["embeddings"], np.float32)
+    assert feats.shape == (3, config.fusion_dim)
+    # embeddings are L2-normalized and match a direct engine call
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-3)
+    imgs = [
+        Image.open(io.BytesIO(base64.b64decode(s))) for s in b64s
+    ]
+    direct = embed_pils(imgs, "nir")
+    np.testing.assert_allclose(feats, direct, rtol=1e-4, atol=1e-4)
+
+
+def test_embed_texts(served):
+    url, (_, embed_texts), config = served
+    code, body = _post(url + "/embed", {"texts": ["a person", "red coat"]})
+    assert code == 200 and body["count"] == 2
+    feats = np.asarray(body["embeddings"], np.float32)
+    direct = embed_texts(["a person", "red coat"])
+    np.testing.assert_allclose(feats, direct, rtol=1e-4, atol=1e-4)
+
+
+def test_bad_requests(served):
+    url, _, _ = served
+    code, body = _post(url + "/embed", {"images_b64": ["xx"], "modality": "bogus"})
+    assert code == 400 and "modality" in body["error"]
+    code, body = _post(url + "/embed", {"nonsense": 1})
+    assert code == 400
+    code, body = _post(url + "/embed", {"images_b64": ["!!notbase64"]})
+    assert code == 400
+    # server survives all of that
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"

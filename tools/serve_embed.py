@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Serving mode: frozen-weight embedding "server" CLI.
+"""Serving mode: frozen-weight embedding server.
 
 The reference has no serving path — its closest analog is the standalone
 eval tool's per-image FeatureExtractor (tools/eval_mm_protocol.py:133-219,
@@ -13,6 +13,14 @@ Usage:
         --images 'gallery/*.jpg' --modality vis --out feats.npz
     python tools/serve_embed.py --model_path ... --text captions.txt --out t.npz
     python tools/serve_embed.py --model_path ... --benchmark  # embeds/s
+    python tools/serve_embed.py --model_path ... --serve 8787  # HTTP server
+
+HTTP API (``--serve PORT``):
+    GET  /healthz             -> {"status": "ok", "fusion_dim": ..., ...}
+    POST /embed               -> {"embeddings": [[...]], "count": N}
+        body {"texts": ["caption", ...]}                       (text tower)
+        body {"images_b64": ["<base64 jpeg/png>", ...],
+              "modality": "vis"|"nir"|"sk"|"cp"}               (vision)
 """
 import argparse
 import glob as globlib
@@ -64,6 +72,165 @@ def _load_model(model_path, block_impl=None):
     return config, model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
+def make_engine(config, model, variables, batch_size):
+    """Batch embedding callables over a loaded model:
+    ``(embed_pils(images, modality), embed_texts(captions))`` — both return
+    L2-normalized fp32 [N, fusion_dim].  Combo graphs compile once per
+    modality and are reused across calls (the serving hot loop)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from prcv2025reid_tpu.data.augment import ImageTransform
+    from prcv2025reid_tpu.training.train_step import make_combo_embed_step
+
+    B = batch_size
+    Mv, S = len(config.vision_modalities), config.image_size
+    tf = ImageTransform(image_size=S, train=False)
+    fns = {}
+
+    def _fn(mods):
+        if mods not in fns:
+            fns[mods] = make_combo_embed_step(model, mods)
+        return fns[mods]
+
+    def _empty():
+        return np.zeros((0, config.fusion_dim), np.float32)
+
+    def embed_pils(pil_images, modality):
+        slot = list(config.vision_modalities).index(modality)
+        fn = _fn((modality,))
+        feats = []
+        for start in range(0, len(pil_images), B):
+            chunk = pil_images[start : start + B]
+            n = len(chunk)
+            imgs = np.zeros((B, Mv, S, S, 3), np.float32)
+            mask = np.zeros((B, Mv), np.float32)
+            for i, im in enumerate(chunk):
+                imgs[i, slot] = tf(im.convert("RGB"))
+                mask[i, slot] = 1.0
+            batch = {
+                "images": jnp.asarray(imgs),
+                "image_mask": jnp.asarray(mask),
+                "text_tokens": jnp.zeros(
+                    (B, config.text_context_length), jnp.int32
+                ),
+                "text_mask": jnp.zeros((B,), jnp.float32),
+            }
+            feats.append(np.asarray(fn(variables, batch))[:n])
+        return np.concatenate(feats) if feats else _empty()
+
+    tokenizer_box = []
+
+    def embed_texts(captions):
+        from prcv2025reid_tpu.data.tokenizer import build_tokenizer
+
+        if not tokenizer_box:
+            tokenizer_box.append(
+                build_tokenizer(
+                    config.tokenizer_vocab_path,
+                    config.text_vocab_size,
+                    config.text_context_length,
+                )
+            )
+        tokenizer = tokenizer_box[0]
+        fn = _fn(("text",))
+        feats = []
+        for start in range(0, len(captions), B):
+            chunk = list(captions[start : start + B])
+            n = len(chunk)
+            padded = chunk + [""] * (B - n)
+            batch = {
+                "images": jnp.zeros((B, Mv, S, S, 3), jnp.float32),
+                "image_mask": jnp.zeros((B, Mv), jnp.float32),
+                "text_tokens": jnp.asarray(tokenizer(padded).astype(np.int32)),
+                "text_mask": jnp.asarray(
+                    [1.0] * n + [0.0] * (B - n), jnp.float32
+                ),
+            }
+            feats.append(np.asarray(fn(variables, batch))[:n])
+        return np.concatenate(feats) if feats else _empty()
+
+    return embed_pils, embed_texts
+
+
+def make_server(port, host, config, engine):
+    """Build (without starting) the HTTP embedding server — see the module
+    docstring for the API.  Requests serialize through one lock — the device
+    executes one batch at a time anyway; concurrency belongs in the batch
+    dimension."""
+    import base64
+    import io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    embed_pils, embed_texts = engine
+    lock = threading.Lock()
+    valid_mods = tuple(config.vision_modalities)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "fusion_dim": config.fusion_dim,
+                    "modalities": list(valid_mods) + ["text"],
+                    "image_size": config.image_size,
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/embed":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "texts" in req:
+                    with lock:
+                        feats = embed_texts([str(t) for t in req["texts"]])
+                elif "images_b64" in req:
+                    mod = req.get("modality", "vis")
+                    if mod not in valid_mods:
+                        self._send(400, {"error": f"modality {mod!r} not in {valid_mods}"})
+                        return
+                    imgs = [
+                        Image.open(io.BytesIO(base64.b64decode(s)))
+                        for s in req["images_b64"]
+                    ]
+                    with lock:
+                        feats = embed_pils(imgs, mod)
+                else:
+                    self._send(400, {"error": "body needs 'texts' or 'images_b64'"})
+                    return
+                self._send(200, {"embeddings": feats.tolist(),
+                                 "count": int(feats.shape[0])})
+            except Exception as e:  # malformed payloads must not kill the server
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *args):
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def run_server(port, host, config, engine):
+    srv = make_server(port, host, config, engine)
+    print(json.dumps({"serving": True, "host": host,
+                      "port": srv.server_address[1]}), flush=True)
+    srv.serve_forever()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model_path", required=True, help="checkpoint dir")
@@ -83,6 +250,12 @@ def main(argv=None):
         "checkpoint config; 'fused_int8' is the measured-fastest on v5e — "
         "docs/performance.md)",
     )
+    ap.add_argument(
+        "--serve", type=int, default=None, metavar="PORT",
+        help="run the HTTP embedding server (0 = ephemeral port)",
+    )
+    ap.add_argument("--serve_host", default="127.0.0.1",
+                    help="bind address for --serve (loopback by default)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -100,53 +273,17 @@ def main(argv=None):
     config, model, variables = _load_model(args.model_path, args.block_impl)
     B = args.batch_size or config.inference_batch_size
     Mv, S = len(config.vision_modalities), config.image_size
-    mod_slot = list(config.vision_modalities).index(args.modality) if args.modality != "text" else None
+    embed_pils, embed_texts = make_engine(config, model, variables, B)
+
+    if args.serve is not None:
+        run_server(args.serve, args.serve_host, config,
+                   (embed_pils, embed_texts))
+        return
 
     def embed_images(paths):
         from PIL import Image
 
-        from prcv2025reid_tpu.data.augment import ImageTransform
-
-        tf = ImageTransform(image_size=S, train=False)
-        fn = make_combo_embed_step(model, (args.modality,))
-        feats = []
-        for start in range(0, len(paths), B):
-            chunk = paths[start : start + B]
-            n = len(chunk)
-            imgs = np.zeros((B, Mv, S, S, 3), np.float32)
-            mask = np.zeros((B, Mv), np.float32)
-            for i, p in enumerate(chunk):
-                imgs[i, mod_slot] = tf(Image.open(p).convert("RGB"))
-                mask[i, mod_slot] = 1.0
-            batch = {
-                "images": jnp.asarray(imgs),
-                "image_mask": jnp.asarray(mask),
-                "text_tokens": jnp.zeros((B, config.text_context_length), jnp.int32),
-                "text_mask": jnp.zeros((B,), jnp.float32),
-            }
-            feats.append(np.asarray(fn(variables, batch))[:n])
-        return np.concatenate(feats) if feats else np.zeros((0, config.fusion_dim))
-
-    def embed_texts(captions):
-        tokenizer = build_tokenizer(
-            config.tokenizer_vocab_path,
-            config.text_vocab_size,
-            config.text_context_length,
-        )
-        fn = make_combo_embed_step(model, ("text",))
-        feats = []
-        for start in range(0, len(captions), B):
-            chunk = captions[start : start + B]
-            n = len(chunk)
-            padded = chunk + [""] * (B - n)
-            batch = {
-                "images": jnp.zeros((B, Mv, S, S, 3), jnp.float32),
-                "image_mask": jnp.zeros((B, Mv), jnp.float32),
-                "text_tokens": jnp.asarray(tokenizer(padded).astype(np.int32)),
-                "text_mask": jnp.asarray([1.0] * n + [0.0] * (B - n), jnp.float32),
-            }
-            feats.append(np.asarray(fn(variables, batch))[:n])
-        return np.concatenate(feats) if feats else np.zeros((0, config.fusion_dim))
+        return embed_pils([Image.open(p) for p in paths], args.modality)
 
     if args.benchmark:
         fn = make_combo_embed_step(model, ("vis",))
