@@ -51,6 +51,10 @@ def main():
     if os.environ.get("PRCV_BENCH_PALLAS", "0") == "1":
         extra_impls.append("pallas")
 
+    # optional model-family override (clip-vit-base-patch16 is the headline;
+    # -patch32 / -large-patch14 document perf breadth, docs/performance.md)
+    preset = os.environ.get("PRCV_BENCH_PRESET", "")
+
     def build(impl: str):
         config = TrainingConfig(
             compute_dtype="bfloat16" if on_tpu else "float32",
@@ -59,6 +63,10 @@ def main():
             attn_backend="splash" if impl == "splash" else "xla",
             block_impl=impl if impl.startswith("fused") else "xla",
         )
+        if preset:
+            from prcv2025reid_tpu.configs import apply_model_preset
+
+            config = apply_model_preset(config, preset)
         model = MultiModalReIDModel(config=config, num_classes=400)
         Mv, S = len(config.vision_modalities), config.image_size
         rng = jax.random.PRNGKey(0)

@@ -2,6 +2,7 @@
 import base64
 import io
 import json
+import os
 import sys
 import threading
 import urllib.request
@@ -11,7 +12,9 @@ import numpy as np
 import pytest
 from PIL import Image
 
-sys.path.insert(0, "tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+)
 
 
 TINY = dict(
@@ -56,12 +59,14 @@ def served():
         train=False,
     )
     engine = serve_embed.make_engine(config, model, variables, 4)
+    serve_embed.warmup_engine(config, engine)
     srv = serve_embed.make_server(0, "127.0.0.1", config, engine)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     url = f"http://127.0.0.1:{srv.server_address[1]}"
     yield url, engine, config
     srv.shutdown()
+    srv.server_close()
 
 
 def _post(url, obj):
@@ -94,7 +99,7 @@ def test_healthz(served):
 
 
 def test_embed_images_matches_engine(served):
-    url, (embed_pils, _), config = served
+    url, (embed_pils, _, _), config = served
     b64s = [_jpeg_b64(0), _jpeg_b64(1), _jpeg_b64(2)]
     code, body = _post(url + "/embed", {"images_b64": b64s, "modality": "nir"})
     assert code == 200 and body["count"] == 3
@@ -110,7 +115,7 @@ def test_embed_images_matches_engine(served):
 
 
 def test_embed_texts(served):
-    url, (_, embed_texts), config = served
+    url, (_, embed_texts, _), config = served
     code, body = _post(url + "/embed", {"texts": ["a person", "red coat"]})
     assert code == 200 and body["count"] == 2
     feats = np.asarray(body["embeddings"], np.float32)
@@ -124,6 +129,9 @@ def test_bad_requests(served):
     assert code == 400 and "modality" in body["error"]
     code, body = _post(url + "/embed", {"nonsense": 1})
     assert code == 400
+    # a bare string for 'texts' must not be embedded per character
+    code, body = _post(url + "/embed", {"texts": "a red coat"})
+    assert code == 400 and "list" in body["error"]
     code, body = _post(url + "/embed", {"images_b64": ["!!notbase64"]})
     assert code == 400
     # server survives all of that

@@ -74,9 +74,10 @@ def _load_model(model_path, block_impl=None):
 
 def make_engine(config, model, variables, batch_size):
     """Batch embedding callables over a loaded model:
-    ``(embed_pils(images, modality), embed_texts(captions))`` — both return
-    L2-normalized fp32 [N, fusion_dim].  Combo graphs compile once per
-    modality and are reused across calls (the serving hot loop)."""
+    ``(embed_pils(images, modality), embed_texts(captions),
+    embed_paths(paths, modality))`` — each returns L2-normalized fp32
+    [N, fusion_dim].  Combo graphs compile once per modality and are reused
+    across calls (the serving hot loop)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -119,6 +120,19 @@ def make_engine(config, model, variables, batch_size):
             feats.append(np.asarray(fn(variables, batch))[:n])
         return np.concatenate(feats) if feats else _empty()
 
+    def embed_paths(paths, modality):
+        """Chunked file embedding: at most one batch of images is open at a
+        time (a gallery can exceed the fd limit if opened all at once)."""
+        from PIL import Image
+
+        feats = []
+        for start in range(0, len(paths), B):
+            chunk = [Image.open(p) for p in paths[start : start + B]]
+            feats.append(embed_pils(chunk, modality))
+            for im in chunk:
+                im.close()
+        return np.concatenate(feats) if feats else _empty()
+
     tokenizer_box = []
 
     def embed_texts(captions):
@@ -150,7 +164,7 @@ def make_engine(config, model, variables, batch_size):
             feats.append(np.asarray(fn(variables, batch))[:n])
         return np.concatenate(feats) if feats else _empty()
 
-    return embed_pils, embed_texts
+    return embed_pils, embed_texts, embed_paths
 
 
 def make_server(port, host, config, engine):
@@ -165,9 +179,39 @@ def make_server(port, host, config, engine):
 
     from PIL import Image
 
-    embed_pils, embed_texts = engine
+    embed_pils, embed_texts, _ = engine
     lock = threading.Lock()
     valid_mods = tuple(config.vision_modalities)
+    MAX_BODY = 64 * 1024 * 1024  # b64 images batch cap; this host is small
+
+    class BadRequest(ValueError):
+        pass
+
+    def _parse(req):
+        """Validate the payload and build the embed thunk (raises BadRequest
+        on any client error; the thunk itself runs device work)."""
+        if "texts" in req:
+            if not isinstance(req["texts"], list):
+                raise BadRequest("'texts' must be a JSON list of strings")
+            texts = [str(t) for t in req["texts"]]
+            return lambda: embed_texts(texts)
+        if "images_b64" in req:
+            if not isinstance(req["images_b64"], list):
+                raise BadRequest("'images_b64' must be a JSON list")
+            mod = req.get("modality", "vis")
+            if mod not in valid_mods:
+                raise BadRequest(f"modality {mod!r} not in {valid_mods}")
+            try:
+                imgs = [
+                    Image.open(io.BytesIO(base64.b64decode(s, validate=True)))
+                    for s in req["images_b64"]
+                ]
+                for im in imgs:
+                    im.load()  # decode errors surface as 400 here
+            except Exception as e:
+                raise BadRequest(f"undecodable image: {e}") from e
+            return lambda: embed_pils(imgs, mod)
+        raise BadRequest("body needs 'texts' or 'images_b64'")
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
@@ -195,28 +239,26 @@ def make_server(port, host, config, engine):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
-                if "texts" in req:
-                    with lock:
-                        feats = embed_texts([str(t) for t in req["texts"]])
-                elif "images_b64" in req:
-                    mod = req.get("modality", "vis")
-                    if mod not in valid_mods:
-                        self._send(400, {"error": f"modality {mod!r} not in {valid_mods}"})
-                        return
-                    imgs = [
-                        Image.open(io.BytesIO(base64.b64decode(s)))
-                        for s in req["images_b64"]
-                    ]
-                    with lock:
-                        feats = embed_pils(imgs, mod)
-                else:
-                    self._send(400, {"error": "body needs 'texts' or 'images_b64'"})
+                if length > MAX_BODY:
+                    self._send(413, {"error": f"body exceeds {MAX_BODY} bytes"})
                     return
+                try:
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    if not isinstance(req, dict):
+                        raise BadRequest("body must be a JSON object")
+                    thunk = _parse(req)
+                except (BadRequest, json.JSONDecodeError, UnicodeDecodeError) as e:
+                    self._send(400, {"error": str(e)})
+                    return
+                with lock:
+                    feats = thunk()
                 self._send(200, {"embeddings": feats.tolist(),
                                  "count": int(feats.shape[0])})
-            except Exception as e:  # malformed payloads must not kill the server
-                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except BrokenPipeError:
+                pass
+            except Exception as e:
+                # device/compile/server faults are 500s, not the client's fault
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, *args):
             pass
@@ -224,7 +266,25 @@ def make_server(port, host, config, engine):
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def run_server(port, host, config, engine):
+def warmup_engine(config, engine, modalities=None):
+    """Compile every serving graph up front (remote compiles here take 30 s -
+    30 min, CLAUDE.md) so the readiness line/healthz are truthful."""
+    import numpy as np
+    from PIL import Image
+
+    embed_pils, embed_texts, _ = engine
+    S = config.image_size
+    dummy = Image.fromarray(np.zeros((S, S, 3), np.uint8))
+    for mod in (modalities if modalities is not None
+                else config.vision_modalities):
+        embed_pils([dummy], mod)
+    embed_texts([""])
+
+
+def run_server(port, host, config, engine, warmup="all"):
+    if warmup != "none":
+        logging.info("warming serving graphs (all modalities + text)...")
+        warmup_engine(config, engine)
     srv = make_server(port, host, config, engine)
     print(json.dumps({"serving": True, "host": host,
                       "port": srv.server_address[1]}), flush=True)
@@ -256,6 +316,9 @@ def main(argv=None):
     )
     ap.add_argument("--serve_host", default="127.0.0.1",
                     help="bind address for --serve (loopback by default)")
+    ap.add_argument("--warmup", default="all", choices=("all", "none"),
+                    help="compile all serving graphs before announcing "
+                    "readiness (--serve only)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -263,27 +326,24 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from prcv2025reid_tpu.data.tokenizer import build_tokenizer
     from prcv2025reid_tpu.training.train_step import make_combo_embed_step
 
     config, model, variables = _load_model(args.model_path, args.block_impl)
     B = args.batch_size or config.inference_batch_size
     Mv, S = len(config.vision_modalities), config.image_size
-    embed_pils, embed_texts = make_engine(config, model, variables, B)
+    engine = make_engine(config, model, variables, B)
+    embed_pils, embed_texts, embed_paths = engine
 
     if args.serve is not None:
-        run_server(args.serve, args.serve_host, config,
-                   (embed_pils, embed_texts))
+        run_server(args.serve, args.serve_host, config, engine,
+                   warmup=args.warmup)
         return
 
     def embed_images(paths):
-        from PIL import Image
-
-        return embed_pils([Image.open(p) for p in paths], args.modality)
+        return embed_paths(paths, args.modality)
 
     if args.benchmark:
         fn = make_combo_embed_step(model, ("vis",))
