@@ -200,6 +200,10 @@ class TrainingConfig:
     # block activations instead of keeping them live — ~1/3 more forward
     # FLOPs for ~12x less activation memory, enabling larger P*K batches.
     remat_blocks: bool = False
+    # remat granularity: "full" saves only block inputs; "dots" saves matmul
+    # outputs and recomputes just the elementwise chains (LN/GELU) in the
+    # backward — less recompute, less memory saving.
+    remat_policy: str = "full"
     rank_topk: int = 100  # submission export depth (tools/eval_mm_protocol.py:629-643)
 
     # populated at runtime

@@ -47,6 +47,7 @@ class UnifiedEncoder(nn.Module):
     resln_impl: str = "xla"
     block_impl: str = "xla"
     remat_blocks: bool = False
+    remat_policy: str = "full"
 
     @classmethod
     def from_config(cls, config: TrainingConfig, dtype=None) -> "UnifiedEncoder":
@@ -75,6 +76,7 @@ class UnifiedEncoder(nn.Module):
             resln_impl="auto" if config.use_fused_resln else "xla",
             block_impl=config.block_impl,
             remat_blocks=config.remat_blocks,
+            remat_policy=config.remat_policy,
         )
 
     def setup(self):
@@ -98,6 +100,7 @@ class UnifiedEncoder(nn.Module):
             resln_impl=self.resln_impl,
             block_impl=self.block_impl,
             remat_blocks=self.remat_blocks,
+            remat_policy=self.remat_policy,
         )
         self.text = TextTower(
             vocab_size=self.text_vocab,

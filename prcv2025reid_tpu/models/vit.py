@@ -102,6 +102,7 @@ class MERVisionTransformer(nn.Module):
     # forward FLOPs for ~12x less activation memory, enabling larger P*K
     # training batches (config.remat_blocks).
     remat_blocks: bool = False
+    remat_policy: str = "full"  # "full" | "dots" (see configs.py)
 
     def setup(self):
         num_patches = (self.image_size // self.patch_size) ** 2
@@ -133,11 +134,17 @@ class MERVisionTransformer(nn.Module):
         # static_argnums count self as 0: expert_ids (2) and deterministic
         # (3) are static — and the trunk must pass them POSITIONALLY
         # (jax.checkpoint's static_argnums does not cover kwargs)
-        block_cls = (
-            nn.remat(MERBlock, static_argnums=(2, 3))
-            if self.remat_blocks
-            else MERBlock
-        )
+        if self.remat_blocks:
+            import jax
+
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if self.remat_policy == "dots"
+                else None  # "full": save block inputs only
+            )
+            block_cls = nn.remat(MERBlock, static_argnums=(2, 3), policy=policy)
+        else:
+            block_cls = MERBlock
         # Linearly scaled drop-path per depth (reference: clip_backbone.py:196-207).
         self.blocks = [
             block_cls(

@@ -7,7 +7,7 @@ import numpy as np
 from prcv2025reid_tpu.models.vit import MERVisionTransformer
 
 
-def _trunk(remat):
+def _trunk(remat, policy="full"):
     return MERVisionTransformer(
         embed_dim=64,
         num_layers=2,
@@ -18,7 +18,27 @@ def _trunk(remat):
         fusion_dim=32,
         modalities=("vis", "nir"),
         remat_blocks=remat,
+        remat_policy=policy,
     )
+
+
+def test_remat_dots_policy_matches():
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+    ref_model = _trunk(False)
+    variables = ref_model.init(jax.random.PRNGKey(1), imgs)
+    dots_model = _trunk(True, "dots")
+
+    def loss(model):
+        def f(params):
+            y = model.apply({"params": params}, imgs, deterministic=False)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(ref_model))(variables["params"])
+    g_dots = jax.grad(loss(dots_model))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_dots)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
 def test_remat_eval_and_grads_match():

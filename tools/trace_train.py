@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="enable per-block rematerialization (remat_blocks)")
+    ap.add_argument("--remat-policy", default="full", choices=("full", "dots"))
     args = ap.parse_args()
     P, K = (int(v) for v in args.pk.split("x"))
     B = P * K
@@ -51,6 +52,7 @@ def main():
         num_ids_per_batch=P,
         instances_per_id=K,
         remat_blocks=args.remat,
+        remat_policy=args.remat_policy,
     )
     num_classes = 400
     model = MultiModalReIDModel(config=config, num_classes=num_classes)
@@ -93,7 +95,7 @@ def main():
     assert np.isfinite(loss)
     print(f"steady state: {args.steps / dt:.2f} it/s "
           f"({B * args.steps / dt:.1f} samples/s) at P={P} K={K} "
-          f"(batch {B}, {Mv} vision modalities + text, remat={args.remat})")
+          f"(batch {B}, {Mv} vision modalities + text, remat={args.remat}/{args.remat_policy})")
 
     if args.no_trace:
         return
