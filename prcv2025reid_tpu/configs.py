@@ -230,8 +230,9 @@ class TrainingConfig:
     def __post_init__(self):
         # loud rejection of typoed compute-path selectors: these are raw
         # string CLI flags, and a silent fallback would serve the wrong path
-        valid_block = {"xla", "fused", "fused_int8",
-                       "fused_interpret", "fused_int8_interpret"}
+        valid_block = {"xla", "fused", "fused_int8", "fused_qkv",
+                       "fused_interpret", "fused_int8_interpret",
+                       "fused_qkv_interpret"}
         if self.block_impl not in valid_block:
             raise ValueError(
                 f"block_impl={self.block_impl!r}; valid: {sorted(valid_block)}"

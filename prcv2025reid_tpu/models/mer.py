@@ -618,15 +618,16 @@ class MERBlock(nn.Module):
         b_out_g = jnp.broadcast_to(b_out[None], (G,) + b_out.shape)
         b1_g = jnp.broadcast_to(b1[None], (G,) + b1.shape)
         b2_g = jnp.broadcast_to(b2[None], (G,) + b2.shape)
+        w_qkv_k = w_qkv
         if quant == "int8":
-            w_qkv = quantize_weight(w_qkv)
+            w_qkv_k = quantize_weight(w_qkv)
             w_out = quantize_weight(w_out)
             w1 = quantize_weight(w1)
             w2 = quantize_weight(w2)
 
         xf = x.reshape(G, B * S, D)
         qkv = fused_ln_qkv(
-            xf, ln1_s, ln1_b, w_qkv, b_qkv_g, quant, 256, interpret
+            xf, ln1_s, ln1_b, w_qkv_k, b_qkv_g, quant, 256, interpret
         )  # [G, B*S, 3D]
         q, k, v = jnp.split(qkv.reshape(G * B, S, 3 * D), 3, axis=-1)
 
@@ -635,6 +636,16 @@ class MERBlock(nn.Module):
 
         attn = xla_attention_bshd(split4(q), split4(k), split4(v))
         attn = attn.reshape(G, B * S, D)
+        if impl == "fused_qkv":
+            # kernel A only: out-proj / residual / LN2 / MLP stay on XLA
+            # (same folded math as the MERDense path)
+            proj = jnp.einsum("gti,gio->gto", attn, w_out) + b_out[None, None]
+            x2 = xf + proj
+            y = ln_apply(x2, ln2_s, ln2_b)
+            h = jnp.einsum("gti,gif->gtf", y, w1) + b1[None, None]
+            h = jax.nn.gelu(h, approximate=False)
+            out = x2 + jnp.einsum("gtf,gfd->gtd", h, w2) + b2[None, None]
+            return out.reshape(G, B, S, D)
         y = fused_out_mlp(
             attn, xf, w_out, b_out_g, ln2_s, ln2_b, w1, b1_g, w2, b2_g,
             quant, 256, interpret,

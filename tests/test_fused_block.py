@@ -164,6 +164,15 @@ def test_model_fused_block_matches_xla():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_model_fused_qkv_matches_xla():
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+    ref_model = _small_trunk("xla")
+    variables = ref_model.init(jax.random.PRNGKey(1), imgs)
+    ref = ref_model.apply(variables, imgs)
+    out = _small_trunk("fused_qkv_interpret").apply(variables, imgs)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_model_fused_int8_close_to_xla():
     imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
     ref_model = _small_trunk("xla")
