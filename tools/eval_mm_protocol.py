@@ -60,6 +60,12 @@ def main(argv=None):
         "tools/eval_mm_protocol.py:133-219)",
     )
     ap.add_argument(
+        "--block_impl", default=None,
+        choices=("xla", "fused", "fused_int8"),
+        help="override the trunk compute path for embedding (default = "
+        "checkpoint config)",
+    )
+    ap.add_argument(
         "--exclude_same_image",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -78,6 +84,11 @@ def main(argv=None):
         json_file=args.json_file
         or os.path.join(args.dataset_root, "text_annos.json"),
     )
+    if args.block_impl is not None:
+        # eval-time compute-path override (same param tree; gallery
+        # embedding dominates eval time and fused_int8 is the measured
+        # fastest on v5e — docs/performance.md)
+        config = config.replace(block_impl=args.block_impl)
     num_classes = host["num_classes"]
 
     dataset = MultiModalDataset(config, split="val")
@@ -130,6 +141,9 @@ def main(argv=None):
     ckpt_tag = (
         f"{args.cache_tag}_ep{host.get('epoch', 0)}_st{int(state.step)}_{fp}"
         + ("_w" if args.fusion_mode == "weighted" else "")
+        # int8/fused paths produce slightly different embeddings — never
+        # share cached gallery features across compute paths
+        + (f"_{config.block_impl}" if config.block_impl != "xla" else "")
     )
     # sharded embedding + ranking over every visible chip (degenerate 1-chip
     # mesh on a single device — one code path, SURVEY.md §5.8)
