@@ -532,3 +532,252 @@ class TestUnifiedEncoderEndToEndGoldenParity:
         # embeds — the reference outputs must differ (noise) while each
         # matches ours (previous test); here just pin that the noise is real
         assert np.abs(outs["sk"] - outs["cp"]).max() > 1e-6
+
+
+class TestFullModelGoldenParity:
+    """Execute the reference's COMPLETE CLIPBasedMultiModalReIDModel
+    (/root/reference/models/model.py:227-659) as the oracle: eval forward
+    (selective encode + null tokens + fusion + BNNeck) and compute_loss
+    (CE + per-modality SDM vs vis) on a mixed-validity batch, against our
+    MultiModalReIDModel on converter-synced weights.  This pins the full
+    composition, not just the submodules the per-module oracles cover.
+    """
+
+    D_V, L_V, H_V, MLP_V = 64, 2, 4, 128
+    IMG, PATCH = 224, 16
+    D_T, L_T, H_T, MLP_T = 48, 2, 4, 96
+    VOCAB, CTX = 120, 16
+    PROJ = 32
+    C = 5  # id classes
+
+    @pytest.fixture(scope="class")
+    def pair(self, tmp_path_factory):
+        torch = pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        from types import SimpleNamespace
+
+        from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+        cls = type(self)
+        torch.manual_seed(11)
+        cfg = CLIPConfig(
+            text_config=CLIPTextConfig(
+                hidden_size=cls.D_T, intermediate_size=cls.MLP_T,
+                num_hidden_layers=cls.L_T, num_attention_heads=cls.H_T,
+                vocab_size=cls.VOCAB, max_position_embeddings=cls.CTX,
+                projection_dim=cls.PROJ, eos_token_id=cls.VOCAB - 1,
+                bos_token_id=cls.VOCAB - 2,
+            ).to_dict(),
+            vision_config=CLIPVisionConfig(
+                hidden_size=cls.D_V, intermediate_size=cls.MLP_V,
+                num_hidden_layers=cls.L_V, num_attention_heads=cls.H_V,
+                image_size=cls.IMG, patch_size=cls.PATCH,
+                projection_dim=cls.PROJ,
+            ).to_dict(),
+            projection_dim=cls.PROJ,
+        )
+        clip = CLIPModel(cfg).eval()
+        ckpt_dir = tmp_path_factory.mktemp("clip_ckpt_full")
+        clip.save_pretrained(str(ckpt_dir))
+
+        # --- reference encoder on that checkpoint (tokenizer stubbed) ---
+        sys.path.insert(0, REFERENCE)
+        import importlib
+
+        cb = importlib.import_module("models.clip_backbone")
+        model_mod = importlib.import_module("models.model")
+        sys.path.remove(REFERENCE)
+        orig_tok = cb.CLIPTokenizer
+
+        class _TokStub:
+            @staticmethod
+            def from_pretrained(name):
+                return None
+
+        cb.CLIPTokenizer = _TokStub
+        try:
+            ref_enc = cb.CLIPUnifiedEncoder(
+                clip_model_name=str(ckpt_dir),
+                vision_hidden_dim=cls.D_V, text_hidden_dim=cls.D_T,
+                fusion_dim=cls.PROJ, lora_rank=4, lora_alpha=1.0,
+                drop_path=0.0,
+            ).eval()
+        finally:
+            cb.CLIPTokenizer = orig_tok
+
+        # --- reference FULL model around that encoder ---
+        ref_cfg = SimpleNamespace(
+            device="cpu", modalities=["vis", "nir", "sk", "cp", "text"],
+            fusion_dim=cls.PROJ, vision_hidden_dim=cls.D_V,
+            mer_lora_rank=4, mer_lora_alpha=1.0, drop_path=0.0,
+            freeze_text_backbone=False, sdm_semantic_dim=cls.PROJ,
+            sdm_num_heads=4, fusion_num_heads=4, fusion_mlp_ratio=2.0,
+            fusion_dropout=0.0, sdm_temperature=0.2, ce_weight=1.0,
+            contrastive_weight=0.1, dropout_rate=0.0,
+            clip_model_name=str(ckpt_dir), sdm_weight_warmup_epochs=0,
+        )
+        orig_enc_cls = model_mod.CLIPUnifiedEncoder
+        model_mod.CLIPUnifiedEncoder = lambda **kw: ref_enc
+        try:
+            ref_model = model_mod.CLIPBasedMultiModalReIDModel(ref_cfg)
+        finally:
+            model_mod.CLIPUnifiedEncoder = orig_enc_cls
+        ref_model.set_num_classes(cls.C)
+        ref_model.current_epoch = 10
+        ref_model.eval()
+
+        # --- ours: config + converter-synced params ---
+        import jax
+        import jax.numpy as jnp
+
+        from prcv2025reid_tpu.configs import TrainingConfig
+        from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+        from prcv2025reid_tpu.tools.convert_clip import (
+            convert_clip_params,
+            load_hf_state_dict,
+        )
+        from prcv2025reid_tpu.utils.modalities import MODALITIES
+
+        config = TrainingConfig(
+            vision_hidden_dim=cls.D_V, vision_layers=cls.L_V,
+            vision_heads=cls.H_V, vision_mlp_dim=cls.MLP_V,
+            patch_size=cls.PATCH, image_size=cls.IMG, fusion_dim=cls.PROJ,
+            text_hidden_dim=cls.D_T, text_layers=cls.L_T, text_heads=cls.H_T,
+            text_mlp_dim=cls.MLP_T, text_vocab_size=cls.VOCAB,
+            text_context_length=cls.CTX, sdm_semantic_dim=cls.PROJ,
+            sdm_num_heads=4, fusion_num_heads=4, fusion_mlp_ratio=2.0,
+            fusion_dropout=0.0, dropout_rate=0.0, compute_dtype="float32",
+        )
+        ours = MultiModalReIDModel(config=config, num_classes=cls.C,
+                                   dtype=jnp.float32)
+        B = 2
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((B, 4, cls.IMG, cls.IMG, 3)),
+            jnp.ones((B, 4)),
+            jnp.zeros((B, cls.CTX), jnp.int32),
+            jnp.zeros((B,)),
+            train=False,
+        )
+        variables = jax.tree.map(np.asarray, variables)
+        p = variables["params"]
+
+        # encoder through the real converter path (+ patch-embed RNG sync,
+        # same rationale as TestUnifiedEncoderEndToEndGoldenParity)
+        hf = load_hf_state_dict(str(ckpt_dir))
+        enc_converted = convert_clip_params(hf, {"params": p["encoder"]}, seed=0)
+        p["encoder"] = enc_converted["params"] if "params" in enc_converted else enc_converted
+        for mod in ("vis", "nir", "sk", "cp"):
+            pe = getattr(ref_enc.patch_embeds, mod)
+            p["encoder"]["vision"][f"patch_embed_{mod}"]["kernel"] = (
+                pe.proj.weight.detach().numpy().transpose(2, 3, 1, 0).astype(np.float32)
+            )
+            p["encoder"]["vision"][f"patch_embed_{mod}"]["bias"] = (
+                pe.proj.bias.detach().numpy().astype(np.float32)
+            )
+
+        def t(x):
+            return np.asarray(x.detach().numpy(), np.float32)
+
+        # SDM module (mapping as TestSDMModuleGoldenParity)
+        D = cls.PROJ
+        sdm = ref_model.sdm_module
+        ip_w, ip_b = t(sdm.semantic_attn.in_proj_weight), t(sdm.semantic_attn.in_proj_bias)
+        sp = sdm.semantic_proj
+        p["sdm_module"] = {
+            "v_proj": {"kernel": ip_w[2 * D:].T, "bias": ip_b[2 * D:]},
+            "attn_out_proj": {"kernel": t(sdm.semantic_attn.out_proj.weight).T,
+                              "bias": t(sdm.semantic_attn.out_proj.bias)},
+            "proj1": {"kernel": t(sp[0].weight).T, "bias": t(sp[0].bias)},
+            "proj_ln": {"scale": t(sp[1].weight), "bias": t(sp[1].bias)},
+            "proj2": {"kernel": t(sp[4].weight).T, "bias": t(sp[4].bias)},
+        }
+        # FeatureFusion (mapping as TestFeatureFusionGoldenParity)
+        fus = ref_model.feature_fusion
+        fw, fb = t(fus.multihead_attn.in_proj_weight), t(fus.multihead_attn.in_proj_bias)
+        mlp = fus.mlp
+        p["fusion"] = {
+            "q_proj": {"kernel": fw[:D].T, "bias": fb[:D]},
+            "k_proj": {"kernel": fw[D:2 * D].T, "bias": fb[D:2 * D]},
+            "v_proj": {"kernel": fw[2 * D:].T, "bias": fb[2 * D:]},
+            "out_proj": {"kernel": t(fus.multihead_attn.out_proj.weight).T,
+                         "bias": t(fus.multihead_attn.out_proj.bias)},
+            "norm1": {"scale": t(fus.norm1.weight), "bias": t(fus.norm1.bias)},
+            "norm2": {"scale": t(fus.norm2.weight), "bias": t(fus.norm2.bias)},
+            "mlp_ln": {"scale": t(mlp[0].weight), "bias": t(mlp[0].bias)},
+            "mlp_fc1": {"kernel": t(mlp[1].weight).T, "bias": t(mlp[1].bias)},
+            "mlp_fc2": {"kernel": t(mlp[4].weight).T, "bias": t(mlp[4].bias)},
+        }
+        # BNNeck
+        bn = ref_model.bn_neck
+        p["bn_neck"] = {
+            "bn": {"scale": t(bn.bn.weight)},
+            "classifier": {"kernel": t(bn.classifier.weight).T},
+        }
+        variables["batch_stats"]["bn_neck"] = {
+            "bn": {"mean": t(bn.bn.running_mean), "var": t(bn.bn.running_var)}
+        }
+        # null tokens, ours ordered by MODALITIES
+        p["null_tokens"] = np.stack(
+            [t(ref_model.null_tokens[m])[0] for m in MODALITIES]
+        )
+        variables = jax.tree.map(jnp.asarray, variables)
+        return torch, ref_model, ours, variables, config
+
+    def test_forward_and_loss_match(self, pair, rng):
+        torch, ref_model, ours, variables, config = pair
+        import jax.numpy as jnp
+
+        from prcv2025reid_tpu.models.reid_model import compute_loss
+        from prcv2025reid_tpu.utils.modalities import MODALITIES
+
+        B = 2
+        imgs = rng.normal(size=(B, 4, self.IMG, self.IMG, 3)).astype(np.float32)
+        image_mask = np.asarray([[1, 1], [1, 0], [0, 1], [1, 1]], np.float32).T
+        labels = np.asarray([0, 0], np.int32)
+
+        with torch.no_grad():
+            ref_out = ref_model(
+                images={m: torch.tensor(imgs[:, i].transpose(0, 3, 1, 2))
+                        for i, m in enumerate(("vis", "nir", "sk", "cp"))},
+                texts=None,
+                modality_masks={m: torch.tensor(image_mask[:, i])
+                                for i, m in enumerate(("vis", "nir", "sk", "cp"))},
+            )
+            ref_losses = ref_model.compute_loss(ref_out, torch.tensor(labels, dtype=torch.long))
+
+        got = ours.apply(
+            variables,
+            jnp.asarray(imgs),
+            jnp.asarray(image_mask),
+            jnp.zeros((B, self.CTX), jnp.int32),
+            jnp.zeros((B,)),
+            train=False,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(got["logits"]), ref_out["logits"].numpy(),
+            rtol=3e-4, atol=3e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["features"]), ref_out["features"].numpy(),
+            rtol=3e-4, atol=3e-4,
+        )
+        for i, m in enumerate(("vis", "nir", "sk", "cp")):
+            np.testing.assert_allclose(
+                np.asarray(got["raw_modality_features"])[MODALITIES.index(m)],
+                ref_out["raw_modality_features"][m].numpy(),
+                rtol=3e-4, atol=3e-4, err_msg=m,
+            )
+
+        got_losses = compute_loss(
+            got, jnp.asarray(labels),
+            ce_weight=1.0, sdm_weight=0.1, sdm_tau=0.2,
+        )
+        for ref_key, our_key in (("ce_loss", "ce_loss"),
+                                 ("sdm_loss", "sdm_loss"),
+                                 ("total_loss", "total_loss")):
+            np.testing.assert_allclose(
+                float(got_losses[our_key]), float(ref_losses[ref_key]),
+                rtol=5e-4, atol=5e-4, err_msg=ref_key,
+            )
