@@ -50,6 +50,11 @@ def main(argv=None):
                     help="real ViT-B/16 dims instead of the smoke model")
     ap.add_argument("--clip_weights_path", default=None)
     ap.add_argument("--eval_sample_ratio", type=float, default=0.3)
+    ap.add_argument(
+        "--set", dest="extra", action="append", default=[], metavar="KEY=VALUE",
+        help="extra TrainingConfig override, repeatable (e.g. "
+        "--set use_native_decode=true --set block_impl=fused_int8)",
+    )
     args = ap.parse_args(argv)
 
     from prcv2025reid_tpu.utils.jax_setup import enable_compile_cache
@@ -79,6 +84,11 @@ def main(argv=None):
     if not args.full_size:
         overrides.update(SMALL)
     config = TrainingConfig(**overrides)
+    if args.extra:
+        # reuse the train-CLI parser so types/validation behave identically
+        from prcv2025reid_tpu.configs import apply_cli_overrides
+
+        config = apply_cli_overrides(config, [f"--{kv}" for kv in args.extra])
 
     print("== phase 1: data preflight ==")
     trainer = Trainer(config)  # raises on unpairable data
