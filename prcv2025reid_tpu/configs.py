@@ -242,6 +242,10 @@ class TrainingConfig:
             raise ValueError(
                 f"attn_backend={self.attn_backend!r}; valid: {sorted(valid_attn)}"
             )
+        if self.remat_policy not in ("full", "dots"):
+            raise ValueError(
+                f"remat_policy={self.remat_policy!r}; valid: ['dots', 'full']"
+            )
 
     @property
     def num_patches(self) -> int:

@@ -233,6 +233,23 @@ def compute_retrieval_metrics(
 # ----- gallery cache -----
 
 
+def checkpoint_cache_tag(params, base: str, *, step: int, config,
+                         weighted: bool = False) -> str:
+    """Cache tag that changes with the WEIGHTS (md5 of the classifier
+    kernel — step/epoch alone collide across runs) and with the COMPUTE
+    PATH (int8/fused embeddings differ slightly from bf16 ones and must
+    never be reused across paths).  Shared by the Trainer and the
+    standalone eval CLI so the rules cannot drift apart."""
+    cls_kernel = np.asarray(params["bn_neck"]["classifier"]["kernel"])
+    fp = hashlib.md5(cls_kernel.tobytes()).hexdigest()[:10]
+    tag = f"{base}_st{step}_{fp}"
+    if weighted:
+        tag += "_w"
+    if config.block_impl != "xla":
+        tag += f"_{config.block_impl}"
+    return tag
+
+
 class GalleryCache:
     """On-disk gallery feature cache (train.py:516-534 semantics, npz form)."""
 

@@ -472,6 +472,21 @@ def ln_apply(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float =
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def folded_block_tail(
+    attn, x_res, w_out, b_out, ln2_s, ln2_b, w1, b1, w2, b2
+):
+    """The folded post-attention half of a pre-LN block, XLA form:
+    out-proj + residual + LN2 + MLP + residual.  Grouped leading dim with
+    any token layout ([G, B, D] or [G, T, D]); one authority for this math
+    (used by MERBlock.cls_only_call and the fused_qkv path)."""
+    proj = jnp.einsum("g...i,gio->g...o", attn, w_out) + b_out
+    x2 = x_res.astype(proj.dtype) + proj
+    y = ln_apply(x2, ln2_s, ln2_b)
+    h = jnp.einsum("g...i,gif->g...f", y, w1) + b1
+    h = jax.nn.gelu(h, approximate=False)
+    return x2 + jnp.einsum("g...f,gfd->g...d", h, w2) + b2
+
+
 class MERBlock(nn.Module):
     """Pre-LN transformer block with MER routing + DropPath.
 
@@ -583,12 +598,9 @@ class MERBlock(nn.Module):
             k.reshape(G * B, S, H, Dh),
             v.reshape(G * B, S, H, Dh),
         ).reshape(G, B, D)
-        proj = jnp.einsum("gbi,gio->gbo", attn, w_out) + b_out
-        x2 = x[:, :, 0].astype(proj.dtype) + proj
-        y = ln_apply(x2, *self.ln2())
-        h1 = jnp.einsum("gbi,gif->gbf", y, w1) + b1
-        h1 = jax.nn.gelu(h1, approximate=False)
-        return x2 + jnp.einsum("gbf,gfd->gbd", h1, w2) + b2
+        return folded_block_tail(
+            attn, x[:, :, 0], w_out, b_out, *self.ln2(), w1, b1, w2, b2
+        )
 
     def _fused_call(
         self, x: jnp.ndarray, expert_ids: Tuple[int, ...]
@@ -638,13 +650,9 @@ class MERBlock(nn.Module):
         attn = attn.reshape(G, B * S, D)
         if impl == "fused_qkv":
             # kernel A only: out-proj / residual / LN2 / MLP stay on XLA
-            # (same folded math as the MERDense path)
-            proj = jnp.einsum("gti,gio->gto", attn, w_out) + b_out[None, None]
-            x2 = xf + proj
-            y = ln_apply(x2, ln2_s, ln2_b)
-            h = jnp.einsum("gti,gif->gtf", y, w1) + b1[None, None]
-            h = jax.nn.gelu(h, approximate=False)
-            out = x2 + jnp.einsum("gtf,gfd->gtd", h, w2) + b2[None, None]
+            out = folded_block_tail(
+                attn, xf, w_out, b_out, ln2_s, ln2_b, w1, b1, w2, b2
+            )
             return out.reshape(G, B, S, D)
         y = fused_out_mlp(
             attn, xf, w_out, b_out_g, ln2_s, ln2_b, w1, b1_g, w2, b2_g,

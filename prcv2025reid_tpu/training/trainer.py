@@ -340,14 +340,15 @@ class Trainer:
 
     def _gallery_cache(self) -> GalleryCache:
         """Parameter-fingerprinted cache tag so features are reused only for
-        byte-identical weights (the final full-ratio eval after the last
-        epoch's eval hits this; a resumed re-eval of the same checkpoint also
-        does).  Same fingerprint scheme as tools/eval_mm_protocol.py."""
-        import hashlib
+        byte-identical weights on the same compute path (the final full-ratio
+        eval after the last epoch's eval hits this; a resumed re-eval of the
+        same checkpoint also does)."""
+        from prcv2025reid_tpu.evaluation.protocol import checkpoint_cache_tag
 
-        cls_kernel = np.asarray(self.state.params["bn_neck"]["classifier"]["kernel"])
-        fp = hashlib.md5(cls_kernel.tobytes()).hexdigest()[:10]
-        tag = f"{self.config.eval_cache_tag}_st{int(self.state.step)}_{fp}"
+        tag = checkpoint_cache_tag(
+            self.state.params, self.config.eval_cache_tag,
+            step=int(self.state.step), config=self.config,
+        )
         return GalleryCache(self.config.eval_cache_dir, tag)
 
     def evaluate(self, epoch: Optional[int] = None, sample_ratio: Optional[float] = None) -> Dict:

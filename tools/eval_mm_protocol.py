@@ -129,21 +129,16 @@ def main(argv=None):
                 embed_fns[mods] = make_combo_embed_step(model, mods)
         return embed_fns[mods]
 
-    # cache key must change with the checkpoint — stale gallery features from
-    # a different model would silently corrupt every metric.  Epoch/step alone
-    # collide across runs, so fingerprint actual parameters too.
-    import hashlib
+    # cache key must change with the checkpoint and the compute path — the
+    # shared helper holds the rules (evaluation/protocol.py)
+    from prcv2025reid_tpu.evaluation.protocol import checkpoint_cache_tag
 
-    import numpy as np
-
-    cls_kernel = np.asarray(state.params["bn_neck"]["classifier"]["kernel"])
-    fp = hashlib.md5(cls_kernel.tobytes()).hexdigest()[:10]
-    ckpt_tag = (
-        f"{args.cache_tag}_ep{host.get('epoch', 0)}_st{int(state.step)}_{fp}"
-        + ("_w" if args.fusion_mode == "weighted" else "")
-        # int8/fused paths produce slightly different embeddings — never
-        # share cached gallery features across compute paths
-        + (f"_{config.block_impl}" if config.block_impl != "xla" else "")
+    ckpt_tag = checkpoint_cache_tag(
+        state.params,
+        f"{args.cache_tag}_ep{host.get('epoch', 0)}",
+        step=int(state.step),
+        config=config,
+        weighted=args.fusion_mode == "weighted",
     )
     # sharded embedding + ranking over every visible chip (degenerate 1-chip
     # mesh on a single device — one code path, SURVEY.md §5.8)
