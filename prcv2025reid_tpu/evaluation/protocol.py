@@ -233,29 +233,52 @@ def compute_retrieval_metrics(
 # ----- gallery cache -----
 
 
+# every config selector that changes embedding NUMERICS (not just speed):
+# (field, default).  A cache entry written under one value must never be
+# reused under another — the tag appends each non-default value.
+NUMERICS_PATH_FIELDS = (
+    ("block_impl", "xla"),
+    ("attn_backend", "xla"),
+    ("use_pallas_attention", False),
+    ("use_fused_resln", False),
+    ("use_fused_mlp", False),
+    ("compute_dtype", "bfloat16"),
+)
+
+
 def checkpoint_cache_tag(params, base: str, *, step: int, config,
                          weighted: bool = False) -> str:
     """Cache tag that changes with the WEIGHTS (md5 of the classifier
     kernel — step/epoch alone collide across runs) and with the COMPUTE
-    PATH (int8/fused embeddings differ slightly from bf16 ones and must
-    never be reused across paths).  Shared by the Trainer and the
-    standalone eval CLI so the rules cannot drift apart."""
+    PATH (int8/fused/splash/... embeddings differ slightly from the default
+    path and must never be reused across paths — NUMERICS_PATH_FIELDS is
+    the authority).  Shared by the Trainer and the standalone eval CLI so
+    the rules cannot drift apart."""
     cls_kernel = np.asarray(params["bn_neck"]["classifier"]["kernel"])
     fp = hashlib.md5(cls_kernel.tobytes()).hexdigest()[:10]
     tag = f"{base}_st{step}_{fp}"
     if weighted:
         tag += "_w"
-    if config.block_impl != "xla":
-        tag += f"_{config.block_impl}"
+    for field, default in NUMERICS_PATH_FIELDS:
+        val = getattr(config, field)
+        if val != default:
+            tag += f"_{field}={val}"
     return tag
 
 
 class GalleryCache:
-    """On-disk gallery feature cache (train.py:516-534 semantics, npz form)."""
+    """On-disk gallery feature cache (train.py:516-534 semantics, npz form).
 
-    def __init__(self, cache_dir: str, tag: str):
+    ``keep_newest`` bounds the directory: the weight-fingerprinted tags mint
+    a new file per evaluated checkpoint, so a 60-epoch run with per-epoch
+    eval would otherwise leave ~60 stale feature files behind.  Each save
+    evicts the oldest gallery npz beyond the limit (the just-written file is
+    always retained)."""
+
+    def __init__(self, cache_dir: str, tag: str, keep_newest: int = 4):
         self.cache_dir = cache_dir
         self.tag = tag
+        self.keep_newest = keep_newest
 
     def _path(self, indices: Sequence[int]) -> str:
         h = hashlib.md5(np.asarray(indices, np.int64).tobytes()).hexdigest()[:12]
@@ -271,6 +294,25 @@ class GalleryCache:
     def save(self, indices, feats: np.ndarray, pids: np.ndarray):
         os.makedirs(self.cache_dir, exist_ok=True)
         np.savez(self._path(indices), feats=feats, pids=pids)
+        self._evict(protect=self._path(indices))
+
+    def _evict(self, protect: str):
+        if self.keep_newest is None or self.keep_newest < 1:
+            return
+        try:
+            entries = [
+                os.path.join(self.cache_dir, f)
+                for f in os.listdir(self.cache_dir)
+                if f.startswith("gallery_") and f.endswith(".npz")
+            ]
+            entries.sort(key=os.path.getmtime, reverse=True)
+            keep = set(entries[: self.keep_newest])
+            keep.add(os.path.abspath(protect))
+            for p in entries[self.keep_newest :]:
+                if os.path.abspath(p) not in keep and p not in keep:
+                    os.remove(p)
+        except OSError:  # concurrent eval processes racing on the same dir
+            pass
 
 
 # ----- the protocol driver -----

@@ -202,10 +202,15 @@ def _ln_qkv_bwd(quant, block_rows, interpret, res, g):
     # jax.grad through an eval forward still works (and for grad parity tests).
     x, ln_scale, ln_bias, w = res
     if quant == "int8":
-        wq, ws = w
-        wf = wq.astype(jnp.float32) * ws
-    else:
-        wf = w.astype(jnp.float32)
+        # loud by design: a silent zero here would make jax.grad through a
+        # fused_int8 forward produce zero weight gradients with no warning
+        # (int8 weights are a serving-only artifact — train on bf16/xla)
+        raise NotImplementedError(
+            "gradients w.r.t. int8-quantized weights are unsupported: the "
+            "fused_int8 path is serving-only; use block_impl='xla' or "
+            "'fused' for any differentiated forward"
+        )
+    wf = w.astype(jnp.float32)
 
     def ref(x, s, bnorm, b_):
         y = _ln_f32(x, s.astype(jnp.float32), bnorm.astype(jnp.float32))
@@ -220,11 +225,7 @@ def _ln_qkv_bwd(quant, block_rows, interpret, res, g):
         "gti,gto->gio",
         _ln_f32(x, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32)),
         g.astype(jnp.float32),
-    )
-    if quant == "int8":
-        dw = (jnp.zeros_like(wq), jnp.zeros_like(ws))
-    else:
-        dw = dw.astype(w.dtype)
+    ).astype(w.dtype)
     return (dx.astype(x.dtype), ds.astype(ln_scale.dtype),
             db.astype(ln_bias.dtype), dw, dbias.astype(jnp.float32))
 
@@ -385,11 +386,6 @@ def _out_mlp_ref_f32(attn, x, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2):
     return x2 + jnp.einsum("gtf,gfd->gtd", h, w2) + b2[:, None, :]
 
 
-def _dequant(w):
-    wq, ws = w
-    return wq.astype(jnp.float32) * ws
-
-
 def _out_mlp_fwd(attn, x, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2,
                  quant, block_rows, interpret):
     out = _fused_out_mlp_impl(
@@ -402,24 +398,24 @@ def _out_mlp_fwd(attn, x, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2,
 def _out_mlp_bwd(quant, block_rows, interpret, res, g):
     attn, x, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2 = res
     int8 = quant == "int8"
-    wof = _dequant(wo) if int8 else wo.astype(jnp.float32)
-    w1f = _dequant(w1) if int8 else w1.astype(jnp.float32)
-    w2f = _dequant(w2) if int8 else w2.astype(jnp.float32)
+    if int8:
+        # see _ln_qkv_bwd: grad-through-int8 is unsupported by design
+        raise NotImplementedError(
+            "gradients w.r.t. int8-quantized weights are unsupported: the "
+            "fused_int8 path is serving-only; use block_impl='xla' or "
+            "'fused' for any differentiated forward"
+        )
     args = (
-        attn.astype(jnp.float32), x.astype(jnp.float32), wof,
-        bo.astype(jnp.float32), ln_scale, ln_bias,
-        w1f, b1.astype(jnp.float32), w2f, b2.astype(jnp.float32),
+        attn.astype(jnp.float32), x.astype(jnp.float32),
+        wo.astype(jnp.float32), bo.astype(jnp.float32), ln_scale, ln_bias,
+        w1.astype(jnp.float32), b1.astype(jnp.float32),
+        w2.astype(jnp.float32), b2.astype(jnp.float32),
     )
     _, vjp = jax.vjp(_out_mlp_ref_f32, *args)
     grads = vjp(g.astype(jnp.float32))
     (da, dx, dwo, dbo, ds, db, dw1, db1, dw2, db2) = grads
-    if int8:
-        dwo = (jnp.zeros_like(wo[0]), jnp.zeros_like(wo[1]))
-        dw1 = (jnp.zeros_like(w1[0]), jnp.zeros_like(w1[1]))
-        dw2 = (jnp.zeros_like(w2[0]), jnp.zeros_like(w2[1]))
-    else:
-        dwo, dw1, dw2 = (dwo.astype(wo.dtype), dw1.astype(w1.dtype),
-                         dw2.astype(w2.dtype))
+    dwo, dw1, dw2 = (dwo.astype(wo.dtype), dw1.astype(w1.dtype),
+                     dw2.astype(w2.dtype))
     return (
         da.astype(attn.dtype), dx.astype(x.dtype), dwo,
         dbo.astype(jnp.float32), ds.astype(ln_scale.dtype),

@@ -354,23 +354,31 @@ class Trainer:
     def evaluate(self, epoch: Optional[int] = None, sample_ratio: Optional[float] = None) -> Dict:
         cfg = self.config
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        # embedding batches must split evenly over the mesh; rather than
+        # silently de-parallelizing the embed (round-2 behavior), round the
+        # batch up to the next device multiple — embed_samples pads the last
+        # chunk to batch_size anyway, so the padded size is transparent.
+        eval_bs = cfg.eval_batch_size
+        n_dev = self.mesh.devices.size
+        if n_dev > 1 and eval_bs % n_dev != 0:
+            eval_bs = -(-eval_bs // n_dev) * n_dev
+            logger.warning(
+                "eval_batch_size=%d does not divide the %d-device mesh — "
+                "padded up to %d so the embed stays sharded",
+                cfg.eval_batch_size, n_dev, eval_bs,
+            )
         result = evaluate_protocol(
             None,
             variables,
             self.val_ds,
             self.tokenizer,
-            batch_size=cfg.eval_batch_size,
+            batch_size=eval_bs,
             include_patterns=cfg.eval_include_patterns,
             cache=self._gallery_cache(),
             sample_ratio=sample_ratio if sample_ratio is not None else cfg.eval_sample_ratio,
             seed=cfg.seed,
             embed_factory=self.embed_factory,
-            sharding=(
-                batch_sharding(self.mesh)
-                if self.mesh.devices.size > 1
-                and cfg.eval_batch_size % self.mesh.devices.size == 0
-                else None
-            ),
+            sharding=(batch_sharding(self.mesh) if n_dev > 1 else None),
             mesh=self.mesh,  # sharded ranking (compute_retrieval_metrics)
         )
         if epoch is not None:

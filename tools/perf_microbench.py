@@ -549,8 +549,173 @@ def probe_fc2_fusion():
         timed(fn, h, x, flops_per_iter=flops, label=f"fc2+res+LN {name}")
 
 
+def probe_attn3():
+    """Round-3 attention candidates (VERDICT r2 #1): the XLA core runs ~14 ms
+    vs a ~5.6 ms floor.  Levers that were NOT measured in round 2: bf16 score
+    storage (the f32 [128,12,197,197] scores cost ~714 MB/step of softmax
+    traffic), fewer softmax passes (ones-augmented V folds the normalizer
+    into the PV matmul), and feeding 128-aligned shapes so XLA does not
+    relayout the odd S=197 per matmul."""
+    B, S, H, Dh = (128, 197, 12, 64) if _ON_TPU else (4, 197, 12, 64)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, Dh), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, Dh), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, Dh), jnp.bfloat16)
+    flops = 2.0 * B * H * S * S * Dh * 2
+    scale = Dh**-0.5
+
+    from prcv2025reid_tpu.ops.attention import xla_attention_bshd
+
+    def v_bf16_store(q, k, v):
+        # scores kept bf16 in HBM; softmax statistics still f32 via convert
+        # fused into the reductions
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.bfloat16)
+        m = jnp.max(s.astype(jnp.float32), axis=-1, keepdims=True)
+        p = jnp.exp(s.astype(jnp.float32) * scale - m * scale)
+        p = (p / p.sum(axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    def v_bf16_all(q, k, v):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.bfloat16)
+        p = jax.nn.softmax(s * jnp.bfloat16(scale), axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    def v_ones_aug(q, k, v):
+        # unnormalized exp scores; the softmax denominator rides the PV
+        # matmul as an extra ones-column of V — one fewer [S,S] reduction
+        # pass.  max subtraction kept (one fused reduce) for range safety.
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.bfloat16)
+        m = jnp.max(s.astype(jnp.float32), axis=-1, keepdims=True)
+        p = jnp.exp((s.astype(jnp.float32) - m) * scale).astype(jnp.bfloat16)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
+        )
+        o = jnp.einsum("bhqk,bkhe->bqhe", p, v_aug)
+        return o[..., :Dh] / jnp.maximum(o[..., Dh:], 1e-9)
+
+    def v_ones_aug_nomax(q, k, v):
+        # zero [S,S] reduction passes: exp without max subtraction (safe for
+        # |logits*scale| < 88 in f32), denominator via the ones column
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.bfloat16)
+        p = jnp.exp(s.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
+        )
+        o = jnp.einsum("bhqk,bkhe->bqhe", p, v_aug)
+        return o[..., :Dh] / jnp.maximum(o[..., Dh:], 1e-9)
+
+    Sp = 256
+    neg = jnp.zeros((Sp,), jnp.float32).at[S:].set(-1e9)
+
+    def v_padded256(q, k, v):
+        # feed the matmuls 128-aligned shapes: pad K/V length once, mask the
+        # pad keys additively; q rows stay 197
+        pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
+        kp = jnp.pad(k, pad)
+        vp = jnp.pad(v, pad)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, kp,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s * scale + neg, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, vp)
+
+    def v_padded256_bf16(q, k, v):
+        pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
+        kp = jnp.pad(k, pad)
+        vp = jnp.pad(v, pad)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, kp,
+                       preferred_element_type=jnp.bfloat16)
+        m = jnp.max(s.astype(jnp.float32), axis=-1, keepdims=True)
+        p = jnp.exp((s.astype(jnp.float32) - m) * scale + neg)
+        p = (p / p.sum(axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, vp)
+
+    ref = np.asarray(xla_attention_bshd(q, k, v), np.float32)
+    variants = {
+        "baseline bshd f32 (model)": xla_attention_bshd,
+        "bf16 scores, f32 stats": v_bf16_store,
+        "bf16 everything": v_bf16_all,
+        "ones-aug denom (1 reduce)": v_ones_aug,
+        "ones-aug nomax (0 reduce)": v_ones_aug_nomax,
+        "padded-256 keys f32": v_padded256,
+        "padded-256 bf16 scores": v_padded256_bf16,
+    }
+    for name, f in variants.items():
+        try:
+            got = np.asarray(f(q, k, v), np.float32)
+            err = float(np.max(np.abs(got - ref)))
+        except Exception as e:
+            print(f"attn3 {name}: FAILED {type(e).__name__}: {str(e)[:100]}")
+            continue
+
+        def fn(q, k, v, f=f):
+            def body(i, acc):
+                qi = q + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                o = f(qi, k, v)
+                return acc + o[0, 0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        timed(fn, q, k, v, flops_per_iter=flops,
+              label=f"attn3 {name} |err|{err:.4f}")
+
+
+def probe_fc2b():
+    """Is the unexplained ~0.5 ms/site of the in-model fc2+res+LN fusions the
+    GELU (erf) being fused into the fc2 matmul's operand load?  Compare fc2
+    fed a precomputed h vs fc2(gelu(pre)) where XLA may fold the erf into the
+    dot prologue, and test a barrier that forces GELU to materialize."""
+    B, S, D, F = (128, 197, 768, 3072) if _ON_TPU else (4, 197, 768, 3072)
+    pre = jax.random.normal(jax.random.PRNGKey(0), (1, B, S, F), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, B, S, D), jnp.bfloat16)
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (1, F, D), jnp.bfloat16) * 0.02
+    scale = jnp.ones((D,), jnp.float32)
+    bias = jnp.zeros((D,), jnp.float32)
+    flops = 2.0 * B * S * F * D
+
+    def ln(xf):
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+    def tail(x2):
+        return x2, ln(x2.astype(jnp.float32)).astype(x2.dtype)
+
+    def v_pre_h(h, x):
+        fc2 = jnp.einsum("gbsf,gfd->gbsd", h, w2)
+        return tail(x + fc2)
+
+    def v_gelu_fused(h, x):
+        g = jax.nn.gelu(h, approximate=False)
+        fc2 = jnp.einsum("gbsf,gfd->gbsd", g, w2)
+        return tail(x + fc2)
+
+    def v_gelu_barrier(h, x):
+        g = jax.nn.gelu(h, approximate=False)
+        g, = jax.lax.optimization_barrier((g,))
+        fc2 = jnp.einsum("gbsf,gfd->gbsd", g, w2)
+        return tail(x + fc2)
+
+    for name, f in {
+        "fc2(h) precomputed": v_pre_h,
+        "fc2(gelu(pre)) fused": v_gelu_fused,
+        "fc2(gelu(pre)) +barrier": v_gelu_barrier,
+    }.items():
+        def fn(h, x, f=f):
+            def body(i, carry):
+                x, acc = carry
+                hi = h + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                x2, y = f(hi, x)
+                return x2, acc + y[0, 0, 0, 0].astype(jnp.float32)
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0.0)))
+            return acc
+        timed(fn, pre, x, flops_per_iter=flops, label=f"fc2b {name}")
+
+
 PROBES = {
     "fc2_fusion": probe_fc2_fusion,
+    "attn3": probe_attn3,
+    "fc2b": probe_fc2b,
     "xla_bf16": probe_xla_bf16,
     "xla_int8": probe_xla_int8,
     "pallas_bf16": probe_pallas_bf16,
