@@ -106,6 +106,10 @@ class TrainingConfig:
     # (reference: models/model.py:294 reads it at init; train.py:836-850 falls
     # back to it when scheduler metrics are missing).  0.0 = warmup-silent.
     contrastive_weight: float = 0.0
+    # the reference hard-codes p=0.1 for BOTH SDM dropout sites (attention-
+    # weight dropout and the projection dropout, models/model.py:19-45);
+    # configurable here so deterministic golden-parity tests can zero it
+    sdm_dropout: float = 0.1
     sdm_semantic_dim: int = 512
     sdm_num_heads: int = 8
     sdm_temperature: float = 0.2
@@ -175,9 +179,23 @@ class TrainingConfig:
     # future tuning. 'False' selects the XLA path everywhere.
     use_pallas_attention: bool = False
     # attention core backend when use_pallas_attention is off: "xla" (einsum,
-    # default) or "splash" (upstream Mosaic flash kernel, S padded to 128
-    # multiples under a key mask — docs/performance.md for the measurement).
+    # default), "splash" (upstream Mosaic flash kernel, S padded to 128
+    # multiples under a key mask), or "onesaug" (XLA core with bf16 score
+    # storage, no-max exp and the softmax denominator folded into the PV
+    # matmul as a ones-column of V — zero [S,S] reduction passes; measured
+    # 1.5x the einsum core at model shapes, min-cosine-gated in bench.py).
+    # docs/performance.md has all the measurements.
     attn_backend: str = "xla"
+    # GELU formulation on the folded (eval/serving) forward: "erf"
+    # (reference-exact, jax.nn.gelu approximate=False), "tanh" (jax's
+    # approximate GELU — max |err| 4.7e-4, measured fastest), or "poly"
+    # (bf16-accuracy minimax erf polynomial, ops/kernel_math.gelu_poly_bf16).
+    # XLA fuses the exact erf into the fc2 matmul prologue at 81 -> 47
+    # TFLOP/s; tanh/poly recover it (fc1+gelu+fc2 chain measured 83.6 erf /
+    # 111.4 tanh / 104.3 poly TFLOP/s — docs/performance.md round 3).
+    # Training always uses exact erf; bench.py gates non-exact GELU on
+    # embedding parity + ranking equivalence before it can win.
+    gelu_impl: str = "erf"
     # Pallas fused fc1-gelu-fc2 kernel: measured SLOWER than XLA on v5e (the
     # erf GELU is VPU-bound and Mosaic serializes it against the MXU); kept
     # for future scheduling work. docs/performance.md has the numbers.
@@ -237,10 +255,14 @@ class TrainingConfig:
             raise ValueError(
                 f"block_impl={self.block_impl!r}; valid: {sorted(valid_block)}"
             )
-        valid_attn = {"xla", "splash"}
+        valid_attn = {"xla", "splash", "onesaug"}
         if self.attn_backend not in valid_attn:
             raise ValueError(
                 f"attn_backend={self.attn_backend!r}; valid: {sorted(valid_attn)}"
+            )
+        if self.gelu_impl not in ("erf", "tanh", "poly"):
+            raise ValueError(
+                f"gelu_impl={self.gelu_impl!r}; valid: ['erf', 'poly', 'tanh']"
             )
         if self.remat_policy not in ("full", "dots"):
             raise ValueError(

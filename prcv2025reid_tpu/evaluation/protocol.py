@@ -230,6 +230,53 @@ def compute_retrieval_metrics(
     return out
 
 
+def ranking_equivalence(
+    q_ref: np.ndarray,
+    g_ref: np.ndarray,
+    q_test: np.ndarray,
+    g_test: np.ndarray,
+    q_pids: np.ndarray,
+    g_pids: np.ndarray,
+    topk: int = 100,
+) -> Dict[str, float]:
+    """Is a non-default compute path RETRIEVAL-equivalent to the reference
+    path?  The product metric is ranking order (reference train.py:450-479),
+    not embedding cosine — int8/bf16 paths can hold cosine >= 0.999 yet swap
+    close gallery neighbors, so promotion gates (bench.py, serving configs)
+    must check ranking directly:
+
+    - ``top_overlap``: mean per-query overlap of the top-k ranked gallery
+      sets between the two paths;
+    - ``map_delta``: |mAP_test - mAP_ref| with the supplied pid labels.
+
+    All features are L2-normalized by the caller."""
+    k_eff = int(min(topk, g_ref.shape[0]))
+
+    def orders(q, g):
+        sims = jnp.dot(
+            jnp.asarray(q, jnp.float32),
+            jnp.asarray(g, jnp.float32).T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        _, idx = jax.lax.top_k(sims, k_eff)
+        return np.asarray(idx)
+
+    o_ref = orders(q_ref, g_ref)
+    o_test = orders(q_test, g_test)
+    overlaps = [
+        len(set(a.tolist()) & set(b.tolist())) / k_eff
+        for a, b in zip(o_ref, o_test)
+    ]
+    m_ref = compute_retrieval_metrics(q_ref, q_pids, g_ref, g_pids)
+    m_test = compute_retrieval_metrics(q_test, q_pids, g_test, g_pids)
+    return {
+        "top_overlap": float(np.mean(overlaps)),
+        "map_ref": m_ref["mAP"],
+        "map_test": m_test["mAP"],
+        "map_delta": abs(m_test["mAP"] - m_ref["mAP"]),
+    }
+
+
 # ----- gallery cache -----
 
 
@@ -440,6 +487,7 @@ def export_submission_csv(
     seed: int = 0,
     embed_factory: Optional[Callable[[Tuple[str, ...]], Callable]] = None,
     mesh=None,
+    sharding=None,
 ):
     """Write the competition CSV: query_key,ranked_gallery_ids
     (tools/eval_mm_protocol.py:595-649).  query_key = pid|mods|anchor-stem;
@@ -450,15 +498,18 @@ def export_submission_csv(
     With ``mesh``, ranking is GALLERY-sharded over the device mesh
     (parallel/ranking.sharded_topk: per-shard lax.top_k + deterministic
     merge) — the BASELINE.json "sharded XLA matmul+top-k over the device
-    mesh" path, replacing the reference's per-query loop
-    (train.py:450-479)."""
+    mesh" path, replacing the reference's per-query loop (train.py:450-479).
+    ``sharding`` batch-shards the EMBEDDING over the mesh like
+    evaluate_protocol does — on a pod the competition's ~45k-image gallery
+    embed must not single-chip."""
 
     def _fn(mods: Tuple[str, ...]) -> Callable:
         return embed_factory(mods) if embed_factory is not None else embed_fn
 
     gallery_indices = [i for i, r in enumerate(dataset.records) if r.vis]
     g_feats, g_pids = embed_samples(
-        _fn(("vis",)), variables, dataset, gallery_indices, tokenizer, batch_size
+        _fn(("vis",)), variables, dataset, gallery_indices, tokenizer,
+        batch_size, sharding=sharding,
     )
     g_ids = [
         os.path.splitext(os.path.basename(dataset.records[i].anchor_vis))[0]
@@ -476,7 +527,7 @@ def export_submission_csv(
             continue
         q_feats, _ = embed_samples(
             _fn(mods), variables, dataset, q_indices, tokenizer, batch_size,
-            modalities=mods, seed=seed,
+            modalities=mods, seed=seed, sharding=sharding,
         )
         # ranking on device: top-k per query chunk (descending, lower index
         # wins ties) — no full host argsort of the [Nq, Ng] matrix.  With a

@@ -46,6 +46,7 @@ class UnifiedEncoder(nn.Module):
     mlp_impl: str = "auto"
     resln_impl: str = "xla"
     block_impl: str = "xla"
+    gelu_impl: str = "erf"
     remat_blocks: bool = False
     remat_policy: str = "full"
 
@@ -75,6 +76,7 @@ class UnifiedEncoder(nn.Module):
             mlp_impl="auto" if config.use_fused_mlp else "xla",
             resln_impl="auto" if config.use_fused_resln else "xla",
             block_impl=config.block_impl,
+            gelu_impl=config.gelu_impl,
             remat_blocks=config.remat_blocks,
             remat_policy=config.remat_policy,
         )
@@ -99,6 +101,7 @@ class UnifiedEncoder(nn.Module):
             mlp_impl=self.mlp_impl,
             resln_impl=self.resln_impl,
             block_impl=self.block_impl,
+            gelu_impl=self.gelu_impl,
             remat_blocks=self.remat_blocks,
             remat_policy=self.remat_policy,
         )

@@ -292,17 +292,15 @@ class MERAttention(nn.Module):
 
             impl = "pallas" if _pallas_available() else "xla"
 
-        if impl in ("xla", "splash"):
+        if impl in ("xla", "splash", "onesaug"):
             # transpose-free path: stay in [N, S, H, Dh] and let einsum fold
             # the head split into the matmuls (see xla_attention_bshd);
             # 'splash' swaps in the Mosaic flash kernel (no [S,S] scores in
-            # HBM) with the same layout contract
-            from prcv2025reid_tpu.ops.attention import (
-                splash_attention_bshd,
-                xla_attention_bshd,
-            )
+            # HBM), 'onesaug' the zero-reduction-pass XLA core — same
+            # layout contract (ops/attention.py)
+            from prcv2025reid_tpu.ops.attention import bshd_core
 
-            core = xla_attention_bshd if impl == "xla" else splash_attention_bshd
+            core = bshd_core(impl)
 
             def split4(t):
                 return t.reshape(G * B, S, self.num_heads, head_dim)
@@ -350,6 +348,9 @@ class MERMlp(nn.Module):
     param_dtype: Dtype = jnp.float32
     impl: str = "auto"
     enable: bool = True  # False = shared-trunk-only (config.enable_mer)
+    # GELU formulation on the FOLDED (eval/serving) forward only; training
+    # (fold=False) always uses reference-exact erf (see apply_gelu)
+    gelu_impl: str = "erf"
 
     @nn.compact
     def __call__(
@@ -425,7 +426,7 @@ class MERMlp(nn.Module):
             enable=self.enable,
         )
         h = MERDense(self.mlp_dim, name="fc1", **mer)(x, expert_ids, fold=fold)
-        h = jax.nn.gelu(h, approximate=False)
+        h = apply_gelu(h, self.gelu_impl if fold else "erf")
         return MERDense(D, name="fc2", **mer)(h, expert_ids, fold=fold)
 
 
@@ -472,8 +473,23 @@ def ln_apply(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float =
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def apply_gelu(h: jnp.ndarray, impl: str = "erf") -> jnp.ndarray:
+    """GELU by formulation name (configs.TrainingConfig.gelu_impl): "erf" is
+    reference-exact; "tanh"/"poly" are bf16-accuracy serving formulations
+    that keep the erf out of XLA's fc2-matmul prologue fusion (measured
+    83.6 -> 111.4 / 104.3 TFLOP/s on the fc1+gelu+fc2 chain — probe_fc2c,
+    docs/performance.md)."""
+    if impl == "tanh":
+        return jax.nn.gelu(h, approximate=True)
+    if impl == "poly":
+        from prcv2025reid_tpu.ops.kernel_math import gelu_poly_bf16
+
+        return gelu_poly_bf16(h)
+    return jax.nn.gelu(h, approximate=False)
+
+
 def folded_block_tail(
-    attn, x_res, w_out, b_out, ln2_s, ln2_b, w1, b1, w2, b2
+    attn, x_res, w_out, b_out, ln2_s, ln2_b, w1, b1, w2, b2, gelu_impl="erf"
 ):
     """The folded post-attention half of a pre-LN block, XLA form:
     out-proj + residual + LN2 + MLP + residual.  Grouped leading dim with
@@ -483,7 +499,7 @@ def folded_block_tail(
     x2 = x_res.astype(proj.dtype) + proj
     y = ln_apply(x2, ln2_s, ln2_b)
     h = jnp.einsum("g...i,gif->g...f", y, w1) + b1
-    h = jax.nn.gelu(h, approximate=False)
+    h = apply_gelu(h, gelu_impl)
     return x2 + jnp.einsum("g...f,gfd->g...d", h, w2) + b2
 
 
@@ -514,6 +530,9 @@ class MERBlock(nn.Module):
     # additionally quantizes every projection (weights per column, activations
     # per row inside the kernels) for the v5e int8 MXU — serving only.
     block_impl: str = "xla"
+    # folded-forward GELU formulation (configs.gelu_impl); the Pallas block
+    # kernels keep their own in-kernel exact erf regardless
+    gelu_impl: str = "erf"
 
     def setup(self):
         self.ln1 = LNParams(self.embed_dim, self.param_dtype, name="ln1")
@@ -538,6 +557,7 @@ class MERBlock(nn.Module):
             param_dtype=self.param_dtype,
             impl=self.mlp_impl,
             enable=self.enable_mer,
+            gelu_impl=self.gelu_impl,
             name="mlp",
         )
 
@@ -580,8 +600,11 @@ class MERBlock(nn.Module):
         MLP are computed for the CLS token alone — k/v still span all tokens.
         Math is identical to ``__call__``'s CLS row (~7% of model FLOPs
         saved; measured in docs/performance.md)."""
-        from prcv2025reid_tpu.ops.attention import xla_attention_bshd
+        from prcv2025reid_tpu.ops.attention import bshd_core
 
+        core = bshd_core(
+            self.attn_impl if self.attn_impl in ("xla", "onesaug") else "xla"
+        )
         ids = tuple(expert_ids)
         G, B, S, D = x.shape
         H = self.num_heads
@@ -593,13 +616,14 @@ class MERBlock(nn.Module):
         kv = jnp.einsum("gbsi,gio->gbso", h, w_qkv[:, :, D:]) + b_qkv[D:]
         q = jnp.einsum("gbi,gio->gbo", h[:, :, 0], w_qkv[:, :, :D]) + b_qkv[:D]
         k, v = jnp.split(kv, 2, axis=-1)
-        attn = xla_attention_bshd(
+        attn = core(
             q.reshape(G * B, 1, H, Dh),
             k.reshape(G * B, S, H, Dh),
             v.reshape(G * B, S, H, Dh),
         ).reshape(G, B, D)
         return folded_block_tail(
-            attn, x[:, :, 0], w_out, b_out, *self.ln2(), w1, b1, w2, b2
+            attn, x[:, :, 0], w_out, b_out, *self.ln2(), w1, b1, w2, b2,
+            gelu_impl=self.gelu_impl,
         )
 
     def _fused_call(
@@ -613,7 +637,7 @@ class MERBlock(nn.Module):
             fused_out_mlp,
             quantize_weight,
         )
-        from prcv2025reid_tpu.ops.attention import xla_attention_bshd
+        from prcv2025reid_tpu.ops.attention import bshd_core
 
         interpret = self.block_impl.endswith("_interpret")
         impl = self.block_impl.removesuffix("_interpret")
@@ -646,12 +670,16 @@ class MERBlock(nn.Module):
         def split4(t):
             return t.reshape(G * B, S, self.num_heads, head_dim)
 
-        attn = xla_attention_bshd(split4(q), split4(k), split4(v))
+        core = bshd_core(
+            self.attn_impl if self.attn_impl in ("xla", "onesaug") else "xla"
+        )
+        attn = core(split4(q), split4(k), split4(v))
         attn = attn.reshape(G, B * S, D)
         if impl == "fused_qkv":
             # kernel A only: out-proj / residual / LN2 / MLP stay on XLA
             out = folded_block_tail(
-                attn, xf, w_out, b_out, ln2_s, ln2_b, w1, b1, w2, b2
+                attn, xf, w_out, b_out, ln2_s, ln2_b, w1, b1, w2, b2,
+                gelu_impl=self.gelu_impl,
             )
             return out.reshape(G, B, S, D)
         y = fused_out_mlp(

@@ -97,6 +97,7 @@ class MERVisionTransformer(nn.Module):
     mlp_impl: str = "auto"
     resln_impl: str = "xla"
     block_impl: str = "xla"  # see MERBlock.block_impl
+    gelu_impl: str = "erf"  # see MERBlock.gelu_impl
     # rematerialize each block in the backward (jax.checkpoint): saves only
     # block inputs, recomputing activations during the backward — ~1/3 more
     # forward FLOPs for ~12x less activation memory, enabling larger P*K
@@ -161,6 +162,7 @@ class MERVisionTransformer(nn.Module):
                 mlp_impl=self.mlp_impl,
                 enable_mer=self.enable_mer,
                 block_impl=self.block_impl,
+                gelu_impl=self.gelu_impl,
                 name=f"block_{i}",
             )
             for i in range(self.num_layers)

@@ -63,6 +63,48 @@ def xla_attention_bshd(
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+def xla_attention_bshd_onesaug(
+    q: jnp.ndarray,  # [B, S, H, Dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Transpose-free attention with ZERO [S, S] reduction passes: scores
+    stay bf16 in HBM, exp runs without max-subtraction (safe for
+    |logits|*scale < 88 in f32 — ViT attention logits are O(10)), and the
+    softmax denominator rides the PV matmul as an extra ones-column of V, so
+    the only ops touching the [S, S] scores are the two matmuls and one
+    fused exp.  Measured 14.3 vs 9.4 TFLOP/s for the f32-softmax einsum path
+    at model shapes (tools/perf_microbench.py probe_attn3, v5e round 3).
+
+    Numerics: bf16 score storage + unnormalized exp — NOT bit-identical to
+    :func:`xla_attention_bshd` (min-cosine > 0.999; bench.py gates it on
+    ranking equivalence before it can win).  Returns [B, S, H, Dh]."""
+    Dh = q.shape[-1]
+    scale = Dh**-0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    p = jnp.exp(s.astype(jnp.float32) * scale).astype(q.dtype)
+    v_aug = jnp.concatenate(
+        [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
+    )
+    o = jnp.einsum("bhqk,bkhe->bqhe", p, v_aug)
+    denom = jnp.maximum(o[..., Dh:], 1e-9 if o.dtype == jnp.float32 else 1e-8)
+    return o[..., :Dh] / denom
+
+
+BSHD_CORES = {
+    "xla": xla_attention_bshd,
+    "onesaug": xla_attention_bshd_onesaug,
+}
+
+
+def bshd_core(impl: str):
+    """Resolve an attention-core name to its [B,S,H,Dh] function.  'splash'
+    resolves lazily (Mosaic import)."""
+    if impl == "splash":
+        return splash_attention_bshd
+    return BSHD_CORES[impl]
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_available() -> bool:
     try:

@@ -33,3 +33,34 @@ def erf_approx(x):
 def gelu_exact(x):
     """0.5 * x * (1 + erf(x / sqrt(2))) via :func:`erf_approx`."""
     return 0.5 * x * (1.0 + erf_approx(x * SQRT_HALF))
+
+
+# Minimax odd polynomial for erf on [0, 2.5] (Lawson-iterated LSQ fit,
+# |err| <= 1.7e-3 — inside bf16 rounding of the downstream activations);
+# erf is clamped to +/-1 outside (|erf(2.5)| = 0.99959).  Horner on u^2:
+# 6 multiplies + 4 adds per element vs the ~30-op exact-erf chain that
+# measured 81 -> 47 TFLOP/s when XLA fuses it into the fc2 matmul prologue
+# (tools/perf_microbench.py probe_fc2b / docs/performance.md round 3).
+_ERF_POLY_BOUND = 2.5
+_ERF_POLY_C = (
+    1.12030787,  # u^1
+    -0.345460773,  # u^3
+    0.0788524875,  # u^5
+    -0.00982586526,  # u^7
+    0.000496800079,  # u^9
+)
+
+
+def gelu_poly_bf16(x):
+    """GELU with a bf16-accuracy polynomial erf — the serving-path
+    formulation for bf16 activations (gate: bench.py ranking equivalence).
+    NOT reference-exact math; training and the golden-parity oracles use
+    :func:`gelu_exact` / jax.nn.gelu(approximate=False)."""
+    u = jnp.clip(
+        (x * SQRT_HALF).astype(jnp.float32), -_ERF_POLY_BOUND, _ERF_POLY_BOUND
+    )
+    u2 = u * u
+    c1, c3, c5, c7, c9 = _ERF_POLY_C
+    p = u * (c1 + u2 * (c3 + u2 * (c5 + u2 * (c7 + u2 * c9))))
+    p = jnp.clip(p, -1.0, 1.0)
+    return (0.5 * x.astype(jnp.float32) * (1.0 + p)).astype(x.dtype)

@@ -712,10 +712,64 @@ def probe_fc2b():
         timed(fn, pre, x, flops_per_iter=flops, label=f"fc2b {name}")
 
 
+def probe_fc2c():
+    """The full MLP chain fc1 -> GELU -> fc2 (+res+LN) at model shapes: what
+    does the erf cost inside XLA's chosen fusion, and do cheaper GELU
+    formulations (bf16-accurate minimax erf polynomial, tanh approx,
+    sigmoid approx) recover it?  fc2b showed gelu-in-fc2-prologue costs
+    81 -> 47 TFLOP/s; this measures the end-to-end chain."""
+    B, S, D, F = (128, 197, 768, 3072) if _ON_TPU else (4, 197, 768, 3072)
+    y = jax.random.normal(jax.random.PRNGKey(0), (1, B, S, D), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, B, S, D), jnp.bfloat16)
+    w1 = jax.random.normal(jax.random.PRNGKey(2), (1, D, F), jnp.bfloat16) * 0.05
+    w2 = jax.random.normal(jax.random.PRNGKey(3), (1, F, D), jnp.bfloat16) * 0.02
+    scale = jnp.ones((D,), jnp.float32)
+    bias = jnp.zeros((D,), jnp.float32)
+    flops = 2.0 * B * S * F * D * 2
+
+    def ln(xf):
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+    from prcv2025reid_tpu.ops.kernel_math import gelu_poly_bf16
+
+    def g_erf(h):
+        return jax.nn.gelu(h, approximate=False)
+
+    def g_poly(h):
+        return gelu_poly_bf16(h)
+
+    def g_tanh(h):
+        return jax.nn.gelu(h, approximate=True)
+
+    def g_sig(h):
+        return h * jax.nn.sigmoid(1.702 * h.astype(jnp.float32)).astype(h.dtype)
+
+    for name, g in {"erf": g_erf, "poly9": g_poly, "tanh": g_tanh,
+                    "sigmoid": g_sig}.items():
+        def f(y, x, g=g):
+            h = g(jnp.einsum("gbsi,gif->gbsf", y, w1))
+            fc2 = jnp.einsum("gbsf,gfd->gbsd", h, w2)
+            x2 = x + fc2
+            return x2, ln(x2.astype(jnp.float32)).astype(x2.dtype)
+
+        def fn(y, x, f=f):
+            def body(i, carry):
+                x, acc = carry
+                yi = y + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                x2, out = f(yi, x)
+                return x2, acc + out[0, 0, 0, 0].astype(jnp.float32)
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0.0)))
+            return acc
+        timed(fn, y, x, flops_per_iter=flops, label=f"fc1+gelu({name})+fc2+res+LN")
+
+
 PROBES = {
     "fc2_fusion": probe_fc2_fusion,
     "attn3": probe_attn3,
     "fc2b": probe_fc2b,
+    "fc2c": probe_fc2c,
     "xla_bf16": probe_xla_bf16,
     "xla_int8": probe_xla_int8,
     "pallas_bf16": probe_pallas_bf16,

@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _load_model(model_path, block_impl=None):
+def _load_model(model_path, block_impl=None, attn_backend=None, gelu_impl=None):
     import jax
     import jax.numpy as jnp
 
@@ -46,10 +46,17 @@ def _load_model(model_path, block_impl=None):
     with open(os.path.join(model_path, "host_state.json")) as f:
         host = json.load(f)
     config = TrainingConfig.from_json(host["config"])
-    if block_impl is not None:
-        # serving-only override: the fused / int8 block kernels change the
-        # compute path, never the checkpoint contract (same param tree)
-        config = config.replace(block_impl=block_impl)
+    # serving-only overrides: these change the compute path, never the
+    # checkpoint contract (same param tree); each is bench-gated on
+    # embedding parity + ranking equivalence (bench.py, docs/performance.md)
+    overrides = {
+        k: v
+        for k, v in (("block_impl", block_impl), ("attn_backend", attn_backend),
+                     ("gelu_impl", gelu_impl))
+        if v is not None
+    }
+    if overrides:
+        config = config.replace(**overrides)
     model = MultiModalReIDModel(config=config, num_classes=host["num_classes"])
     B, S = 2, config.image_size
     variables = model.init(
@@ -306,9 +313,20 @@ def main(argv=None):
     ap.add_argument(
         "--block_impl", default=None,
         choices=("xla", "fused", "fused_int8"),
-        help="override the trunk compute path for serving (default = "
-        "checkpoint config; 'fused_int8' is the measured-fastest on v5e — "
-        "docs/performance.md)",
+        help="override the block compute path for serving (default = "
+        "checkpoint config; docs/performance.md)",
+    )
+    ap.add_argument(
+        "--attn_backend", default=None,
+        choices=("xla", "splash", "onesaug"),
+        help="override the attention core; 'onesaug' + --gelu_impl=tanh is "
+        "the measured-fastest ranking-equivalent serving path on v5e "
+        "(3,145 vs 2,465 embeds/s/chip — docs/performance.md round 3)",
+    )
+    ap.add_argument(
+        "--gelu_impl", default=None, choices=("erf", "tanh", "poly"),
+        help="override the GELU formulation (tanh keeps the erf out of the "
+        "fc2 matmul prologue fusion; bf16-accuracy)",
     )
     ap.add_argument(
         "--serve", type=int, default=None, metavar="PORT",
@@ -331,7 +349,9 @@ def main(argv=None):
 
     from prcv2025reid_tpu.training.train_step import make_combo_embed_step
 
-    config, model, variables = _load_model(args.model_path, args.block_impl)
+    config, model, variables = _load_model(
+        args.model_path, args.block_impl, args.attn_backend, args.gelu_impl
+    )
     B = args.batch_size or config.inference_batch_size
     Mv, S = len(config.vision_modalities), config.image_size
     engine = make_engine(config, model, variables, B)
