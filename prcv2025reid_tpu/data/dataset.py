@@ -287,6 +287,45 @@ class MultiModalDataset:
         }
 
 
+# modality spellings from older dataset layouts; their presence in a data
+# tree means the normalization that produced vis/nir/sk/cp did not run
+LEGACY_MODALITY_NAMES = {"rgb", "ir", "sketch", "cpencil"}
+
+
+def quick_scan(dataset: "MultiModalDataset", n: int = 200) -> Dict:
+    """Fast data-health self-check (reference: datasets/dataset.py:158-185
+    ``quick_scan``): per-modality counts and the vis<->non-vis pair ratio
+    over the first ``n`` records, plus legacy modality-name leakage
+    detection — the reference checks the canonicalized sample modalities for
+    {'rgb','ir','sketch','cpencil'}; here Record fields are canonical by
+    construction, so the check moves to where leakage could actually enter:
+    the data tree's top-level directory names."""
+    records = dataset.records[: min(n, len(dataset.records))]
+    counts = {m: 0 for m in ("vis", "nir", "sk", "cp", "text")}
+    pair = 0
+    for rec in records:
+        mods = rec.modalities()
+        for m in mods:
+            counts[m] += 1
+        if "vis" in mods and bool(mods & {"nir", "sk", "cp", "text"}):
+            pair += 1
+    leaked = []
+    root = dataset.config.data_root
+    if root and os.path.isdir(root):
+        leaked = sorted(
+            d
+            for d in os.listdir(root)
+            if d.lower() in LEGACY_MODALITY_NAMES
+            and os.path.isdir(os.path.join(root, d))
+        )
+    return {
+        "scanned": len(records),
+        "per_modality": counts,
+        "pair_ratio": pair / max(1, len(records)),
+        "legacy_names": leaked,
+    }
+
+
 def analyze_sampling_capability(
     dataset: MultiModalDataset, limit: Optional[int] = None
 ) -> Dict:

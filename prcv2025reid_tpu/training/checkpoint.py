@@ -63,28 +63,22 @@ def restore_checkpoint(
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+    state_path = os.path.join(path, "state")
     # ring-buffer leaves are sized by the WRITER's config (steps_per_epoch /
-    # adaptive_clip_window); a reader that only wants params (eval CLI) builds
-    # its template with defaults — adopt the saved shapes for those leaves.
+    # adaptive_clip_window); a reader that only wants params (eval CLI)
+    # builds its template with defaults.  The orbax metadata API does not
+    # reliably expose the saved global shapes (item metadata is absent for
+    # checkpoints written under a different process/topology, and the
+    # on-disk write_shape is per-SHARD), so on a shape mismatch retry
+    # non-strict: orbax truncates/pads ONLY the mismatched monitor-ring
+    # leaves to the reader's template — params/opt_state shapes still must
+    # match exactly or the retry fails the same way.  A true resume
+    # (Trainer) builds its template from the run config, so its ring shapes
+    # match and this path never triggers there.
     try:
-        meta_tree = ckptr.metadata(os.path.join(path, "state")).item_metadata.tree
-    except Exception:
-        meta_tree = None
-    if meta_tree is not None:
-        fixes = {}
-        for leaf_name in ("metric_ring", "grad_norm_hist"):
-            try:
-                saved_shape = tuple(meta_tree[leaf_name].shape)
-            except Exception:
-                continue
-            cur = getattr(target, leaf_name)
-            if saved_shape != tuple(cur.shape):
-                fixes[leaf_name] = jax.ShapeDtypeStruct(
-                    saved_shape, cur.dtype, sharding=getattr(cur, "sharding", None)
-                )
-        if fixes:
-            target = target.replace(**fixes)
-    state = ckptr.restore(os.path.join(path, "state"), target)
+        state = ckptr.restore(state_path, target)
+    except ValueError:
+        state = ckptr.restore(state_path, target, strict=False)
     with open(os.path.join(path, HOST_STATE_FILE)) as f:
         host_state = json.load(f)
     return state, host_state

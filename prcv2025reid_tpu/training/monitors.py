@@ -161,6 +161,66 @@ class CEDiagnostics:
         return abs(ce_loss - self.random_baseline) / self.random_baseline < self.tolerance
 
 
+def batch_composition(
+    pids: np.ndarray, image_mask: np.ndarray, text_mask: np.ndarray
+) -> Dict:
+    """The reference's early-epoch batch-composition debug panel
+    (train.py:783-830): distinct-ID count, mean instances/ID, and per-ID
+    vis/non-vis pairing split.  Computed host-side from the small batch
+    leaves; the trainer logs it for the first batches of the first epochs."""
+    pids = np.asarray(pids)
+    image_mask = np.asarray(image_mask)
+    text_mask = np.asarray(text_mask)
+    valid = pids >= 0  # multi-host padding rows carry pid -1
+    pids, image_mask, text_mask = pids[valid], image_mask[valid], text_mask[valid]
+    ids, counts = np.unique(pids, return_counts=True)
+    has_vis = image_mask[:, 0] > 0
+    has_nonvis = (image_mask[:, 1:].sum(axis=1) > 0) | (text_mask > 0)
+    both = vis_only = nonvis_only = 0
+    for pid in ids:
+        sel = pids == pid
+        v, n = bool(has_vis[sel].any()), bool(has_nonvis[sel].any())
+        both += v and n
+        vis_only += v and not n
+        nonvis_only += (not v) and n
+    return {
+        "num_ids": int(len(ids)),
+        "avg_instances_per_id": float(counts.mean()) if len(ids) else 0.0,
+        "both": both,
+        "vis_only": vis_only,
+        "nonvis_only": nonvis_only,
+    }
+
+
+class BatchCountReport:
+    """End-of-training sampler-stability statistics (train.py:1766-1783):
+    actual batches/epoch vs the sampler's initial estimate, plus the
+    coefficient of variation across epochs."""
+
+    def __init__(self, estimated_batches: int):
+        self.estimated = max(1, int(estimated_batches))
+        self.per_epoch: List[int] = []
+
+    def record_epoch(self, n_batches: int):
+        self.per_epoch.append(int(n_batches))
+
+    def summary(self) -> Dict:
+        if not self.per_epoch:
+            return {}
+        arr = np.asarray(self.per_epoch, np.float64)
+        avg = float(arr.mean())
+        cv = float(arr.std() / avg) if avg > 0 else 0.0
+        return {
+            "estimated_batches": self.estimated,
+            "avg_batches": avg,
+            "min_batches": int(arr.min()),
+            "max_batches": int(arr.max()),
+            "estimate_accuracy": avg / self.estimated,
+            "batch_cv": cv,
+            "stable": cv < 0.1,
+        }
+
+
 class MetricsHistory:
     """Per-epoch metric accumulation -> CSV (reference: train.py:1751-1756)
     with optional TensorBoard scalar export (the reference has neither

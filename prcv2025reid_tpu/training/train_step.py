@@ -27,8 +27,18 @@ from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel, compute_loss
 CLIP_WINDOW = 10
 
 
-# metric-ring channels (per-step in-graph monitor feed, fetched once per epoch)
-RING_CHANNELS = ("total_loss", "ce_loss", "sdm_loss", "pair_coverage")
+# metric-ring channels (per-step in-graph monitor feed, fetched once per
+# epoch).  bn_feat_norm / bn_feat_norm_s0 feed the FeatureNormMonitor and
+# ce_loss the CE-random check EXACTLY (every step) instead of the round-2
+# 1-in-LOG_EVERY sampling.
+RING_CHANNELS = (
+    "total_loss",
+    "ce_loss",
+    "sdm_loss",
+    "pair_coverage",
+    "bn_feat_norm",
+    "bn_feat_norm_s0",
+)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -236,12 +246,17 @@ def make_train_step(
         # still count the event (reference counts non-finite losses as spikes
         # and `continue`s, train.py:868-876,933-956).
         poison = jnp.where(ok, 0.0, jnp.nan)
+        bn_norms = jnp.linalg.norm(
+            outputs["bn_features"].astype(jnp.float32), axis=1
+        )
         ring_row = jnp.stack(
             [
                 losses["total_loss"] + poison,
                 losses["ce_loss"] + poison,
                 losses["sdm_loss"] + poison,
                 coverage,
+                bn_norms.mean(),
+                bn_norms[0],
             ]
         ).astype(jnp.float32)
         ring = state.metric_ring.at[state.step % state.metric_ring.shape[0]].set(
@@ -268,7 +283,6 @@ def make_train_step(
         feat_norm = jnp.linalg.norm(
             outputs["features"].astype(jnp.float32), axis=1
         ).mean()
-        bn_norms = jnp.linalg.norm(outputs["bn_features"].astype(jnp.float32), axis=1)
         bn_norm = bn_norms.mean()
         metrics = {
             "total_loss": losses["total_loss"],

@@ -37,11 +37,13 @@ from prcv2025reid_tpu.training.checkpoint import (
     save_checkpoint,
 )
 from prcv2025reid_tpu.training.monitors import (
+    BatchCountReport,
     CEDiagnostics,
     FeatureNormMonitor,
     MetricsHistory,
     PairCoverageMonitor,
     SpikeDetector,
+    batch_composition,
 )
 from prcv2025reid_tpu.training.param_groups import (
     build_optimizer,
@@ -76,6 +78,16 @@ class Trainer:
                 f"no pairable identities — training cannot proceed: {report}"
             )
         logger.info("sampling capability: %s", report)
+        from prcv2025reid_tpu.data.dataset import quick_scan
+
+        scan = quick_scan(self.train_ds)
+        logger.info("quick_scan: %s", scan)
+        if scan["legacy_names"]:
+            logger.warning(
+                "legacy modality directory names in data_root: %s — "
+                "normalization did not run (reference dataset.py:158-185)",
+                scan["legacy_names"],
+            )
 
         self.tokenizer = build_tokenizer(
             config.tokenizer_vocab_path,
@@ -178,6 +190,7 @@ class Trainer:
         )
         self.ce_diag = CEDiagnostics(self.num_classes)
         self.feat_norm_monitor = FeatureNormMonitor()
+        self.batch_counts = BatchCountReport(len(self.sampler))
         self.plateau = (
             PlateauScheduler.from_config(config) if config.scheduler == "plateau" else None
         )
@@ -262,17 +275,6 @@ class Trainer:
             for k, v in fetched.items():
                 sums[k] = sums.get(k, 0.0) + v
             n_logged += 1
-            if self.ce_diag.is_random(fetched["ce_loss"]) and epoch > 2:
-                logger.warning(
-                    "CE near random baseline ln(%d)=%.3f — check labels/pairing",
-                    self.num_classes,
-                    self.ce_diag.random_baseline,
-                )
-            warn = self.feat_norm_monitor.check(
-                fetched["bn_feat_norm_s0"], fetched["bn_feat_norm"], epoch
-            )
-            if warn:
-                logger.warning(warn)
 
         last = None
         for batch in prefetch_to_device(
@@ -287,9 +289,27 @@ class Trainer:
             )
             n_steps += 1
             last = metrics
-            # host-side warning monitors at reduced cadence; the spike /
-            # pair-coverage monitors are fed EVERY step from the in-graph
-            # metric ring below (reference updates per batch, train.py:933-956)
+            # the batch-composition debug panel of the reference's early
+            # epochs (train.py:783-830): host-side from the small batch
+            # leaves, first 3 batches of the first 3 epochs only
+            if epoch <= 3 and n_steps <= 3:
+                comp = batch_composition(
+                    batch.get("pids", batch["labels"]),
+                    batch["image_mask"],
+                    batch["text_mask"],
+                )
+                logger.info(
+                    "[batch-composition] epoch=%d batch=%d: %d ids, "
+                    "%.1f inst/id (K-1 pos ~%.1f), vis+nonvis=%d, "
+                    "vis-only=%d, nonvis-only=%d",
+                    epoch, n_steps - 1, comp["num_ids"],
+                    comp["avg_instances_per_id"],
+                    comp["avg_instances_per_id"] - 1,
+                    comp["both"], comp["vis_only"], comp["nonvis_only"],
+                )
+            # loss/top1 console feed at reduced cadence; every EXACT monitor
+            # (spikes, coverage, CE, feat norms) reads the in-graph metric
+            # ring at epoch end (reference updates per batch, train.py:933-956)
             if n_steps % LOG_EVERY == 0 or n_steps == 1:
                 _log_metrics(metrics)
                 last = None
@@ -300,13 +320,33 @@ class Trainer:
         ring = np.asarray(self.state.metric_ring)
         take = min(n_steps, ring.shape[0])
         idxs = (step_before + np.arange(n_steps))[-take:] % ring.shape[0]
-        rows = ring[idxs]  # [take, 4]: total, ce, sdm, pair_coverage
+        rows = ring[idxs]  # [take, len(RING_CHANNELS)] (train_step.py)
+        ce_random_steps = 0
+        feat_warn = None
         for row in rows:
             self.spike_detector.update(float(row[0]))
             self.pair_coverage.update_value(float(row[3]))
+            if np.isfinite(row[1]) and self.ce_diag.is_random(float(row[1])):
+                ce_random_steps += 1
+            warn = self.feat_norm_monitor.check(
+                float(row[5]), float(row[4]), epoch
+            )
+            if warn:
+                feat_warn = warn
+        if epoch > 2 and len(rows) and ce_random_steps > len(rows) // 2:
+            logger.warning(
+                "CE near random baseline ln(%d)=%.3f on %d/%d steps — "
+                "check labels/pairing",
+                self.num_classes, self.ce_diag.random_baseline,
+                ce_random_steps, len(rows),
+            )
+        if feat_warn:
+            logger.warning(feat_warn)
         finite = np.isfinite(rows[:, 0]) if len(rows) else np.zeros(0, bool)
         ring_means = (
-            rows[finite].mean(axis=0) if finite.any() else np.zeros(4, np.float32)
+            rows[finite].mean(axis=0)
+            if finite.any()
+            else np.zeros(rows.shape[1] if len(rows) else 6, np.float32)
         )
 
         avg = {k: v / max(1, n_logged) for k, v in sums.items()}
@@ -420,6 +460,7 @@ class Trainer:
         train_metrics: Optional[Dict] = None
         for epoch in range(self.start_epoch, cfg.num_epochs + 1):
             train_metrics = self.train_epoch(epoch, train_metrics)
+            self.batch_counts.record_epoch(train_metrics["steps"])
             self.train_history.append(train_metrics)
             logger.info("epoch %d: %s", epoch, train_metrics)
 
@@ -464,6 +505,22 @@ class Trainer:
             self.train_history.to_csv(os.path.join(cfg.log_dir, "train_history.csv"))
             self.eval_history.to_csv(os.path.join(cfg.log_dir, "eval_history.csv"))
 
+        # sampler-stability report (train.py:1766-1783)
+        batch_report = self.batch_counts.summary()
+        if batch_report:
+            logger.info(
+                "batch-count report: estimate=%d actual avg=%.1f "
+                "range=[%d, %d] accuracy=%.1f%% cv=%.3f (%s)",
+                batch_report["estimated_batches"], batch_report["avg_batches"],
+                batch_report["min_batches"], batch_report["max_batches"],
+                100 * batch_report["estimate_accuracy"],
+                batch_report["batch_cv"],
+                "stable" if batch_report["stable"] else "fluctuating",
+            )
         # final full-ratio eval (train.py:1727-1748)
         final = self.evaluate(cfg.num_epochs, sample_ratio=1.0) if cfg.do_eval else {}
-        return {"best_map": self.best_map, "final": {k: v for k, v in final.items() if k != "detail"}}
+        return {
+            "best_map": self.best_map,
+            "batch_report": batch_report,
+            "final": {k: v for k, v in final.items() if k != "detail"},
+        }

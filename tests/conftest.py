@@ -31,54 +31,9 @@ def rng():
     return np.random.default_rng(0)
 
 
-def make_synthetic_orbench(root, num_ids=6, anchors_per_id=2, img_size=48):
-    """Write a tiny ORBench-style tree: vis/nir/sk/cp dirs + text_annos.json.
-
-    Layout mirrors the reference's annotation contract
-    (reference: datasets/dataset.py:341-447): JSON lists only vis paths +
-    captions; nir is an identity-level pool; sk/cp filenames carry
-    front/back/side view tags.
-
-    Images carry an identity-dependent base pattern + per-image noise so
-    that retrieval is LEARNABLE (the convergence test depends on this).
-    """
-    import json as _json
-    import os
-
-    from PIL import Image
-
-    g = np.random.default_rng(1234)
-    annos = []
-    for pid in range(1, num_ids + 1):
-        pid_str = f"{pid:04d}"
-        for mod in ("vis", "nir", "sk", "cp"):
-            os.makedirs(os.path.join(root, mod, pid_str), exist_ok=True)
-
-        id_rng = np.random.default_rng(10_000 + pid)
-        base = id_rng.integers(30, 225, (img_size, img_size, 3)).astype(np.int16)
-
-        def _write(relpath):
-            noise = g.integers(-25, 25, (img_size, img_size, 3))
-            arr = np.clip(base + noise, 0, 255).astype(np.uint8)
-            Image.fromarray(arr).save(os.path.join(root, relpath))
-
-        for a in range(anchors_per_id):
-            rel = f"vis/{pid_str}/{pid_str}_cam{a}_{a:04d}_vis.jpg"
-            _write(rel)
-            annos.append(
-                {
-                    "file_path": rel,
-                    "caption": f"person {pid} wearing outfit {a} walking",
-                }
-            )
-        for n in range(2):
-            _write(f"nir/{pid_str}/{pid_str}_nir_{n:04d}.jpg")
-        for view in ("front", "back"):
-            _write(f"sk/{pid_str}/{pid_str}_{view}_sk.jpg")
-            _write(f"cp/{pid_str}/{pid_str}_{view}_cp.jpg")
-    with open(os.path.join(root, "text_annos.json"), "w") as f:
-        _json.dump(annos, f)
-    return root
+# promoted into the package (round 3) so __graft_entry__'s submission-export
+# dry run can build a dataset too; re-exported here for test callers
+from prcv2025reid_tpu.utils.synthetic import make_synthetic_orbench  # noqa: E402,F401
 
 
 @pytest.fixture(scope="session")

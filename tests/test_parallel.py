@@ -247,3 +247,48 @@ class TestDataParallelTrainStep:
         # params after the step must be replicated-consistent
         leaf = jax.tree_util.tree_leaves(new_state.params)[0]
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestShardedSubmissionExport:
+    """VERDICT r2 #4: the submission-export EMBEDDING must shard over the
+    mesh like evaluate_protocol's does, and the mesh CSV must be
+    byte-identical to the single-device one."""
+
+    def test_csv_byte_identical_mesh_vs_single(self, tiny_data_config, tmp_path):
+        from prcv2025reid_tpu.data.dataset import MultiModalDataset
+        from prcv2025reid_tpu.data.tokenizer import HashTokenizer
+        from prcv2025reid_tpu.evaluation.protocol import export_submission_csv
+        from prcv2025reid_tpu.training.train_step import make_embed_step
+
+        config = tiny_data_config.replace(**TINY)
+        ds = MultiModalDataset(config, "val")
+        model = MultiModalReIDModel(config=config, num_classes=6, dtype=jnp.float32)
+        B = 8  # same batch size both runs: the query-sample RNG stream is
+        # consumed per collated row, so batch size is part of determinism
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((B, 4, 32, 32, 3)),
+            jnp.ones((B, 4)),
+            jnp.ones((B, 16), jnp.int32),
+            jnp.ones(B),
+            train=False,
+        )
+        embed = make_embed_step(model)
+        tok = HashTokenizer(100, 16)
+
+        p_single = str(tmp_path / "single.csv")
+        n1 = export_submission_csv(
+            embed, variables, ds, tok, p_single, batch_size=B,
+            k_values=(1, 2), top_k=3,
+        )
+
+        mesh = create_mesh()
+        vars_r = replicate_state(variables, mesh)
+        p_mesh = str(tmp_path / "mesh.csv")
+        n2 = export_submission_csv(
+            embed, vars_r, ds, tok, p_mesh, batch_size=B,
+            k_values=(1, 2), top_k=3,
+            mesh=mesh, sharding=batch_sharding(mesh),
+        )
+        assert n1 == n2 > 0
+        assert open(p_single).read() == open(p_mesh).read()

@@ -180,6 +180,7 @@ def main(argv=None):
             top_k=args.topk if args.topk is not None else config.rank_topk,
             embed_factory=embed_factory,
             mesh=mesh,
+            sharding=sharding,  # gallery embed sharded like the eval above
         )
         logging.info("submission: %d rows -> %s", n, args.submission)
     return result
