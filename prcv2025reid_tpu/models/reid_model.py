@@ -64,7 +64,7 @@ class SemanticDisentanglementModule(nn.Module):
         h = nn.Dense(self.semantic_dim, name="proj1", **dense)(x)
         h = nn.LayerNorm(name="proj_ln", dtype=self.dtype, param_dtype=self.param_dtype)(h)
         h = nn.relu(h)
-        h = nn.Dropout(0.1, deterministic=deterministic)(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(self.semantic_dim, name="proj2", **dense)(h)
 
 
@@ -206,6 +206,7 @@ class MultiModalReIDModel(nn.Module):
         dt = self.dtype if self.dtype is not None else jnp.dtype(cfg.compute_dtype)
         self.encoder = UnifiedEncoder.from_config(cfg, dtype=dt)
         self.sdm_module = SemanticDisentanglementModule(
+            dropout=cfg.sdm_dropout,
             semantic_dim=cfg.sdm_semantic_dim,
             num_heads=cfg.sdm_num_heads,
             dtype=dt,
