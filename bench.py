@@ -64,7 +64,9 @@ def main():
     import os
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    B = int(os.environ.get("PRCV_BENCH_BATCH", 128 if on_tpu else 4))
+    # B=160 measured best for the round-3 winning path (3,184 vs 3,145 at
+    # 128, 3,064 at 192 — docs/performance.md batch sweep)
+    B = int(os.environ.get("PRCV_BENCH_BATCH", 160 if on_tpu else 4))
     N_ITERS = 10 if on_tpu else 2
     # fused_int8 was the round-2 winner; onesaug attention + tanh GELU are
     # the round-3 candidates (docs/performance.md) — all gated below.

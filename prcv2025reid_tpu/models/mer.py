@@ -489,18 +489,27 @@ def apply_gelu(h: jnp.ndarray, impl: str = "erf") -> jnp.ndarray:
 
 
 def folded_block_tail(
-    attn, x_res, w_out, b_out, ln2_s, ln2_b, w1, b1, w2, b2, gelu_impl="erf"
+    attn, x_res, w_out, b_out, ln2_s, ln2_b, w1, b1, w2, b2, gelu_impl="erf",
+    dp1=None, dp2=None,
 ):
     """The folded post-attention half of a pre-LN block, XLA form:
     out-proj + residual + LN2 + MLP + residual.  Grouped leading dim with
     any token layout ([G, B, D] or [G, T, D]); one authority for this math
-    (used by MERBlock.cls_only_call and the fused_qkv path)."""
+    (used by MERBlock.cls_only_call and the fused_qkv path).  ``dp1``/``dp2``
+    are optional per-sample drop-path keep-masks (already scaled by 1/keep)
+    for the attention / MLP residual branches — the training cls-only path
+    applies them to the CLS row exactly as the full forward would."""
     proj = jnp.einsum("g...i,gio->g...o", attn, w_out) + b_out
+    if dp1 is not None:
+        proj = proj * dp1
     x2 = x_res.astype(proj.dtype) + proj
     y = ln_apply(x2, ln2_s, ln2_b)
     h = jnp.einsum("g...i,gif->g...f", y, w1) + b1
     h = apply_gelu(h, gelu_impl)
-    return x2 + jnp.einsum("g...f,gfd->g...d", h, w2) + b2
+    mlp_out = jnp.einsum("g...f,gfd->g...d", h, w2) + b2
+    if dp2 is not None:
+        mlp_out = mlp_out * dp2
+    return x2 + mlp_out
 
 
 class MERBlock(nn.Module):
@@ -590,16 +599,22 @@ class MERBlock(nn.Module):
         return x
 
     def cls_only_call(
-        self, x: jnp.ndarray, expert_ids: Tuple[int, ...]
+        self,
+        x: jnp.ndarray,
+        expert_ids: Tuple[int, ...],
+        deterministic: bool = True,
     ) -> jnp.ndarray:
-        """Exact CLS-row output of the folded eval forward: [G,B,S,D] ->
-        [G,B,D].
+        """Exact CLS-row output of the forward: [G,B,S,D] -> [G,B,D].
 
         The trunk only ever consumes ``x[:, :, 0]`` after the last block
         (models/vit.py), so the last block's q-projection, out-projection and
         MLP are computed for the CLS token alone — k/v still span all tokens.
         Math is identical to ``__call__``'s CLS row (~7% of model FLOPs
-        saved; measured in docs/performance.md)."""
+        saved; measured in docs/performance.md).  With
+        ``deterministic=False`` (training forward, round-3) the per-sample
+        drop-path masks are applied to the CLS-row residual branches — the
+        k/v inputs come from the block INPUT, so the masked-branch math on
+        the CLS row is exactly the full forward's CLS row."""
         from prcv2025reid_tpu.ops.attention import bshd_core
 
         core = bshd_core(
@@ -621,9 +636,21 @@ class MERBlock(nn.Module):
             k.reshape(G * B, S, H, Dh),
             v.reshape(G * B, S, H, Dh),
         ).reshape(G, B, D)
+        dp1 = dp2 = None
+        if not deterministic and self.drop_path_rate > 0:
+            keep = 1.0 - self.drop_path_rate
+            dp1 = jax.random.bernoulli(
+                self.make_rng("droppath"), keep, (G, B, 1)
+            ).astype(x.dtype) / keep
+            dp2 = jax.random.bernoulli(
+                self.make_rng("droppath"), keep, (G, B, 1)
+            ).astype(x.dtype) / keep
+        # training keeps exact erf (apply_gelu contract); eval may use the
+        # configured serving formulation
+        gelu = self.gelu_impl if deterministic else "erf"
         return folded_block_tail(
             attn, x[:, :, 0], w_out, b_out, *self.ln2(), w1, b1, w2, b2,
-            gelu_impl=self.gelu_impl,
+            gelu_impl=gelu, dp1=dp1, dp2=dp2,
         )
 
     def _fused_call(

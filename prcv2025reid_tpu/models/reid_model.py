@@ -355,6 +355,65 @@ class MultiModalReIDModel(nn.Module):
         bn_features, _ = self.bn_neck(fused, train=False)
         return bn_features
 
+    def encode_weighted(
+        self,
+        images: jnp.ndarray,  # [B, Mv, H, W, 3]
+        image_mask: jnp.ndarray,  # [B, Mv]
+        text_tokens: jnp.ndarray,  # [B, S]
+        text_mask: jnp.ndarray,  # [B] float
+        active: Tuple[str, ...],  # static modality names
+        weights: Tuple[float, ...],  # static, one per active modality
+    ) -> jnp.ndarray:
+        """Weighted-sum fusion of per-modality embeddings in ONE graph.
+
+        Semantics of the reference's FeatureExtractor weighted mode
+        (tools/eval_mm_protocol.py:133-219): each modality embedded ALONE
+        through the full head (single-token fusion + BNNeck), L2-normalized,
+        weight-summed, re-normalized.  Round 3: all active vision modalities
+        share ONE stacked trunk call and the per-modality heads live in the
+        same jit (the round-2 path dispatched n_act separate encode_subset
+        graphs — ~10 ms tunnel latency each)."""
+        cfg = self.config
+        B, Mv = images.shape[:2]
+        M = Mv + 1
+        dt = jnp.dtype(self.dtype) if self.dtype is not None else jnp.dtype(cfg.compute_dtype)
+        vis_mods = cfg.vision_modalities
+        null = self.null_tokens.astype(dt)
+
+        # one trunk pass over every active vision modality
+        per_mod: Dict[str, Tuple[int, jnp.ndarray, jnp.ndarray]] = {}
+        active_vis = [(mi, mod) for mi, mod in enumerate(vis_mods) if mod in active]
+        if active_vis:
+            vit = self.encoder.vision
+            tokens = jnp.stack(
+                [vit.patch_embeds[mod](images[:, mi]) for mi, mod in active_vis],
+                axis=0,
+            )
+            all_feats = vit.trunk(
+                tokens, tuple(mi for mi, _ in active_vis), deterministic=True
+            )
+            for j, (mi, mod) in enumerate(active_vis):
+                per_mod[mod] = (mi, all_feats[j], image_mask[:, mi].astype(jnp.float32))
+        if "text" in active:
+            per_mod["text"] = (
+                M - 1, self.encoder.encode_text(text_tokens),
+                text_mask.astype(jnp.float32),
+            )
+
+        acc = None
+        for mod, w in zip(active, weights):
+            slot, f, m = per_mod[mod]
+            blended = m[:, None].astype(dt) * f + (1 - m[:, None]).astype(dt) * null[slot]
+            feats = jnp.broadcast_to(null[None], (B, M, null.shape[-1])).astype(dt)
+            feats = feats.at[:, slot].set(blended)
+            masks = jnp.zeros((B, M), jnp.float32).at[:, slot].set(m)
+            fused = self.fusion(feats, masks, deterministic=True)
+            bn, _ = self.bn_neck(fused, train=False)
+            bn = bn.astype(jnp.float32)
+            bn = bn / jnp.maximum(jnp.linalg.norm(bn, axis=1, keepdims=True), 1e-12)
+            acc = bn * w if acc is None else acc + bn * w
+        return acc / jnp.maximum(jnp.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
+
 
 def compute_loss(
     outputs: Dict[str, jnp.ndarray],

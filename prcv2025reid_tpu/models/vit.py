@@ -204,20 +204,26 @@ class MERVisionTransformer(nn.Module):
         if deterministic and self._use_fused_resln():
             return self._trunk_fused(x, expert_ids)
 
-        if deterministic:
-            # Only the CLS row of the last block is ever consumed: compute
-            # q/out-proj/MLP for that single token (exact math, ~7% of model
-            # FLOPs — see MERBlock.cls_only_call).
+        # Only the CLS row of the last block is ever consumed: compute
+        # q/out-proj/MLP for that single token (exact math, ~7% of model
+        # FLOPs — see MERBlock.cls_only_call).  Round 3 extends this to the
+        # TRAINING forward (drop-path applies per-sample masks to the CLS
+        # row's residual branches — math stays exact); under remat the last
+        # block stays on the plain rematted __call__ (cls_only through the
+        # lifted-transform wrapper is not remat-covered).
+        if deterministic or not self.remat_blocks:
             for block in self.blocks[:-1]:
-                x = block(x, expert_ids, True)
-            cls = self.blocks[-1].cls_only_call(x, expert_ids)
+                x = block(x, expert_ids, deterministic)
+            cls = self.blocks[-1].cls_only_call(
+                x, expert_ids, deterministic
+            )
             cls = ln_apply(cls, *self.ln_final())
             return self.proj(cls)
 
         for block in self.blocks:
             x = block(x, expert_ids, deterministic)
-        x = ln_apply(x, *self.ln_final())
-        return self.proj(x[:, :, 0])
+        cls = ln_apply(x[:, :, 0], *self.ln_final())
+        return self.proj(cls)
 
     def _use_fused_resln(self) -> bool:
         if self.resln_impl == "xla":

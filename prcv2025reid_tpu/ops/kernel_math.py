@@ -7,6 +7,7 @@ keeps their parity contracts in lockstep.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SQRT_HALF = 0.7071067811865476
@@ -49,6 +50,41 @@ _ERF_POLY_C = (
     -0.00982586526,  # u^7
     0.000496800079,  # u^9
 )
+
+
+def _gelu_stored_fwd(x):
+    xf = x.astype(jnp.float32)
+    c = jax.lax.erf(xf * SQRT_HALF)  # erf computed ONCE, saved as residual
+    y = (0.5 * xf * (1.0 + c)).astype(x.dtype)
+    return y, (x, c.astype(x.dtype))
+
+
+def _gelu_stored_bwd(res, g):
+    x, c = res
+    xf = x.astype(jnp.float32)
+    cf = c.astype(jnp.float32)
+    # d gelu/dx = Phi(x) + x * phi(x); Phi from the stored erf — the backward
+    # contains NO erf, only one exp
+    phi = INV_SQRT_2PI * jnp.exp(-0.5 * xf * xf)
+    grad = 0.5 * (1.0 + cf) + xf * phi
+    return ((g.astype(jnp.float32) * grad).astype(x.dtype),)
+
+
+@jax.custom_vjp
+def gelu_stored(x):
+    """Exact-erf GELU whose backward REUSES the forward's erf instead of
+    recomputing it: the erf value is saved as a residual (same dtype as x)
+    and the VJP needs only one exp.  XLA's default schedule rematerializes
+    the ~30-op erf chain inside the fc2 backward fusions (~26 ms/step of
+    the round-2 train trace); this trades that recompute for one stored
+    [.., mlp_dim] activation per MLP.  Math identical to
+    jax.nn.gelu(approximate=False) up to the residual's dtype rounding
+    (exact in f32; 1 bf16 ulp on the bf16 training path)."""
+    y, _ = _gelu_stored_fwd(x)
+    return y
+
+
+gelu_stored.defvjp(_gelu_stored_fwd, _gelu_stored_bwd)
 
 
 def gelu_poly_bf16(x):

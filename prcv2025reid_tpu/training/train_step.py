@@ -358,26 +358,24 @@ def make_weighted_embed_step(
     modality features combined by fixed weights, text 1.2).  Each active
     modality is embedded alone through the full head (fusion of a single
     token + BNNeck), then the L2-normalized features are weight-summed and
-    re-normalized."""
+    re-normalized.  One jitted graph with a single stacked trunk pass
+    (model.encode_weighted) — round 2 dispatched one encode_subset graph
+    per modality."""
     active = tuple(active)
     weights = weights or {}
     w = tuple(float(weights.get(m, 1.2 if m == "text" else 1.0)) for m in active)
 
     @jax.jit
     def embed(params_and_stats, batch):
-        acc = None
-        for mod, wm in zip(active, w):
-            f = model.apply(
-                params_and_stats,
-                batch["images"],
-                batch["image_mask"],
-                batch["text_tokens"],
-                batch["text_mask"],
-                (mod,),
-                method=model.encode_subset,
-            ).astype(jnp.float32)
-            f = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
-            acc = f * wm if acc is None else acc + f * wm
-        return acc / jnp.maximum(jnp.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
+        return model.apply(
+            params_and_stats,
+            batch["images"],
+            batch["image_mask"],
+            batch["text_tokens"],
+            batch["text_mask"],
+            active,
+            w,
+            method=model.encode_weighted,
+        )
 
     return embed

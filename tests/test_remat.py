@@ -1,5 +1,8 @@
-"""remat_blocks (jax.checkpoint per transformer block) must not change any
-numbers — it only trades recompute for activation memory."""
+"""remat_blocks (jax.checkpoint per transformer block) must not change the
+math — it trades recompute for activation memory.  Since round 3 the
+non-remat TRAINING forward computes the last block CLS-only (exact math,
+different floating-point association), so remat-vs-plain comparisons carry
+fp-reassociation noise ~1e-4 relative."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +41,7 @@ def test_remat_dots_policy_matches():
     g_dots = jax.grad(loss(dots_model))(variables["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_dots)):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
 
 
 def test_remat_eval_and_grads_match():
@@ -70,4 +73,4 @@ def test_remat_eval_and_grads_match():
     flat_remat = jax.tree_util.tree_leaves(g_remat)
     assert len(flat_ref) == len(flat_remat)
     for a, b in zip(flat_ref, flat_remat):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)

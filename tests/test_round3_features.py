@@ -415,3 +415,58 @@ class TestRestoreRingAdaptation:
         assert int(state.step) == 42
         assert host["epoch"] == 3
         np.testing.assert_array_equal(np.asarray(state.params["w"]), np.ones((3, 3)))
+
+
+# ----- round-3: CLS-only TRAINING forward (exact math incl. drop-path) -----
+
+
+class TestClsOnlyTrainForward:
+    def _trunk(self, drop_path=0.0, **kw):
+        from prcv2025reid_tpu.models.vit import MERVisionTransformer
+
+        return MERVisionTransformer(
+            embed_dim=64, num_layers=2, num_heads=4, mlp_dim=128,
+            patch_size=16, image_size=32, fusion_dim=32,
+            modalities=("vis", "nir"), drop_path=drop_path, **kw,
+        )
+
+    def test_train_forward_equals_eval_at_zero_droppath(self):
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+        t = self._trunk()
+        v = t.init(jax.random.PRNGKey(1), imgs)
+        a = np.asarray(t.apply(v, imgs, deterministic=True))
+        b = np.asarray(t.apply(v, imgs, deterministic=False))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_droppath_train_forward_finite_and_stochastic(self):
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+        t = self._trunk(drop_path=0.5)
+        v = t.init(jax.random.PRNGKey(1), imgs)
+        outs = [
+            np.asarray(t.apply(
+                v, imgs, deterministic=False,
+                rngs={"droppath": jax.random.PRNGKey(s)},
+            ))
+            for s in (0, 1)
+        ]
+        assert np.isfinite(outs[0]).all() and np.isfinite(outs[1]).all()
+        assert np.abs(outs[0] - outs[1]).max() > 1e-4  # masks actually applied
+
+    def test_droppath_grads_flow_to_last_block(self):
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+        t = self._trunk(drop_path=0.2)
+        v = t.init(jax.random.PRNGKey(1), imgs)
+
+        def loss(params):
+            y = t.apply(
+                {"params": params}, imgs, deterministic=False,
+                rngs={"droppath": jax.random.PRNGKey(7)},
+            )
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        g_last = g["block_1"]["mlp"]["fc2"]["shared"]["kernel"]
+        assert np.abs(np.asarray(g_last)).max() > 0
+        assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(
+            jax.tree.map(np.asarray, g)
+        ))

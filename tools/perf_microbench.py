@@ -765,11 +765,51 @@ def probe_fc2c():
         timed(fn, y, x, flops_per_iter=flops, label=f"fc1+gelu({name})+fc2+res+LN")
 
 
+def probe_gelu_bwd():
+    """Train-step MLP chain fwd+bwd at train shapes: does storing the erf
+    residual (ops/kernel_math.gelu_stored) beat XLA's backward erf
+    rematerialization (the ~26 ms 'GELU recompute chains' of the round-2
+    train trace)?"""
+    from prcv2025reid_tpu.ops.kernel_math import gelu_stored
+
+    # train shapes: G*B*S rows at 8x4 batch = 4*32*197
+    R, D, F = (25216, 768, 3072) if _ON_TPU else (512, 768, 3072)
+    x = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (D, F), jnp.bfloat16) * 0.05
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (F, D), jnp.bfloat16) * 0.02
+    # fwd 2 matmuls + bwd 4 matmuls (dx1, dw1, dx2, dw2)
+    flops = 2.0 * R * D * F * 2 * 3
+
+    def make(g):
+        def loss(x, w1, w2):
+            h = g(x @ w1)
+            y = h @ w2
+            return jnp.sum(y.astype(jnp.float32) * y.astype(jnp.float32))
+
+        grad = jax.grad(loss, argnums=(0, 1, 2))
+
+        def fn(x, w1, w2):
+            def body(i, acc):
+                xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                dx, dw1, dw2 = grad(xi, w1, w2)
+                return acc + dx[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        return fn
+
+    timed(make(lambda h: jax.nn.gelu(h, approximate=False)), x, w1, w2,
+          flops_per_iter=flops, label="mlp fwd+bwd erf (XLA remat)")
+    timed(make(gelu_stored), x, w1, w2,
+          flops_per_iter=flops, label="mlp fwd+bwd gelu_stored")
+    timed(make(lambda h: jax.nn.gelu(h, approximate=True)), x, w1, w2,
+          flops_per_iter=flops, label="mlp fwd+bwd tanh (ref: not exact)")
+
+
 PROBES = {
     "fc2_fusion": probe_fc2_fusion,
     "attn3": probe_attn3,
     "fc2b": probe_fc2b,
     "fc2c": probe_fc2c,
+    "gelu_bwd": probe_gelu_bwd,
     "xla_bf16": probe_xla_bf16,
     "xla_int8": probe_xla_int8,
     "pallas_bf16": probe_pallas_bf16,

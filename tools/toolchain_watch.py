@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""One-command toolchain watch (ROADMAP items 1-2, VERDICT r2 #9).
+
+The fused Pallas block kernels (bf16 + int8) and splash attention lose on
+the current toolchain ONLY because of measured toolchain properties:
+Mosaic compiles matmuls at ~81 vs XLA's 148-175 TFLOP/s, and the v5e int8
+MXU rate (393 TOP/s) is not exposed (XLA int8 = bf16 rate).  The moment a
+toolchain update moves those numbers, the kernels in ops/fused_block.py win
+— this script makes that check trivial to re-run:
+
+  python tools/toolchain_watch.py            # probes + gated bench, report
+  python tools/toolchain_watch.py --fast     # probes only (~2 min warm)
+
+It re-measures the roofline probes (tools/perf_microbench.py), diffs them
+against the recorded docs/performance.md numbers, then (unless --fast) runs
+`bench.py` across every compute path with the promotion gates on and
+reports which path wins now vs the recorded winner.
+
+Exit code: 0 = all within tolerance (PASS), 2 = something CHANGED (a probe
+moved >15% or the bench winner differs) — investigate + update
+docs/performance.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# recorded toolchain baseline (docs/performance.md, round 2-3 measurements)
+RECORDED = {
+    "xla_bf16": 148e12,  # TFLOP/s at the model's [25344,768]x[768,3072]
+    "pallas_bf16": 81e12,  # the Mosaic deficit gating the fused kernels
+    "xla_int8": 146e12,  # int8 MXU NOT exposed (== bf16 rate)
+    "pallas_int8": 93e12,
+}
+TOLERANCE = 0.15
+RECORDED_WINNER = "onesaug_tanh"  # docs/performance.md round-3 headline
+
+
+def run_probes():
+    import jax
+
+    from prcv2025reid_tpu.utils.jax_setup import enable_compile_cache
+    from tools import perf_microbench as mb
+
+    enable_compile_cache()
+    print(f"backend: {jax.default_backend()}", flush=True)
+    results = {}
+    for name in RECORDED:
+        try:
+            results[name] = mb.PROBES[name]()
+        except Exception as e:
+            print(f"probe {name} FAILED: {type(e).__name__}: {e}", flush=True)
+            results[name] = None
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--fast", action="store_true",
+                    help="probes only, skip the full bench sweep")
+    args = ap.parse_args(argv)
+
+    changed = []
+    probes = run_probes()
+    print("\n== probe diff vs docs/performance.md ==")
+    for name, rec in RECORDED.items():
+        got = probes.get(name)
+        if got is None:
+            changed.append(f"probe {name}: FAILED")
+            print(f"  {name:>12s}: FAILED (recorded {rec / 1e12:.0f}T)")
+            continue
+        delta = (got - rec) / rec
+        flag = "PASS" if abs(delta) <= TOLERANCE else "CHANGED"
+        if flag == "CHANGED":
+            changed.append(f"probe {name}: {got / 1e12:.1f}T vs {rec / 1e12:.0f}T")
+        print(f"  {name:>12s}: {got / 1e12:6.1f}T vs recorded "
+              f"{rec / 1e12:.0f}T ({delta:+.1%}) {flag}")
+
+    if not args.fast:
+        env = dict(os.environ)
+        env["PRCV_BENCH_IMPLS"] = (
+            "fused,fused_int8,splash,onesaug,onesaug_tanh,fused_int8_onesaug"
+        )
+        print("\n== gated bench across every compute path ==", flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                          "bench.py")],
+            env=env, capture_output=True, text=True, timeout=7200,
+        )
+        sys.stderr.write(proc.stderr)
+        print(proc.stdout.strip())
+        winner = None
+        for line in proc.stderr.splitlines():
+            if "-> using" in line:
+                winner = line.rsplit("-> using", 1)[1].strip()
+        if winner and winner != RECORDED_WINNER:
+            changed.append(
+                f"bench winner: {winner} (recorded {RECORDED_WINNER})"
+            )
+
+    print("\n== report ==")
+    if changed:
+        for c in changed:
+            print(f"  CHANGED: {c}")
+        print("toolchain moved — re-evaluate ops/fused_block.py & update "
+              "docs/performance.md")
+        return 2
+    print("  PASS: toolchain unchanged; recorded recommendations stand")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
