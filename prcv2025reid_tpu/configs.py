@@ -196,6 +196,13 @@ class TrainingConfig:
     # Training always uses exact erf; bench.py gates non-exact GELU on
     # embedding parity + ranking equivalence before it can win.
     gelu_impl: str = "erf"
+    # TRAINING-path GELU backward scheduling: "remat" (default — XLA
+    # rematerializes the erf chain inside the fc2 backward fusions) or
+    # "stored" (ops/kernel_math.gelu_stored: the forward's erf is saved as a
+    # residual and the backward reuses it — exact math up to the residual's
+    # dtype rounding, trades ~[T,mlp_dim] activation storage for the erf
+    # recompute).  Measured via tools/perf_microbench.py gelu_bwd.
+    gelu_bwd: str = "remat"
     # Pallas fused fc1-gelu-fc2 kernel: measured SLOWER than XLA on v5e (the
     # erf GELU is VPU-bound and Mosaic serializes it against the MXU); kept
     # for future scheduling work. docs/performance.md has the numbers.
@@ -263,6 +270,10 @@ class TrainingConfig:
         if self.gelu_impl not in ("erf", "tanh", "poly"):
             raise ValueError(
                 f"gelu_impl={self.gelu_impl!r}; valid: ['erf', 'poly', 'tanh']"
+            )
+        if self.gelu_bwd not in ("remat", "stored"):
+            raise ValueError(
+                f"gelu_bwd={self.gelu_bwd!r}; valid: ['remat', 'stored']"
             )
         if self.remat_policy not in ("full", "dots"):
             raise ValueError(

@@ -47,6 +47,7 @@ class UnifiedEncoder(nn.Module):
     resln_impl: str = "xla"
     block_impl: str = "xla"
     gelu_impl: str = "erf"
+    gelu_bwd: str = "remat"
     remat_blocks: bool = False
     remat_policy: str = "full"
 
@@ -77,6 +78,7 @@ class UnifiedEncoder(nn.Module):
             resln_impl="auto" if config.use_fused_resln else "xla",
             block_impl=config.block_impl,
             gelu_impl=config.gelu_impl,
+            gelu_bwd=config.gelu_bwd,
             remat_blocks=config.remat_blocks,
             remat_policy=config.remat_policy,
         )
@@ -102,6 +104,7 @@ class UnifiedEncoder(nn.Module):
             resln_impl=self.resln_impl,
             block_impl=self.block_impl,
             gelu_impl=self.gelu_impl,
+            gelu_bwd=self.gelu_bwd,
             remat_blocks=self.remat_blocks,
             remat_policy=self.remat_policy,
         )

@@ -351,6 +351,9 @@ class MERMlp(nn.Module):
     # GELU formulation on the FOLDED (eval/serving) forward only; training
     # (fold=False) always uses reference-exact erf (see apply_gelu)
     gelu_impl: str = "erf"
+    # training-path backward scheduling for the exact erf: "remat" | "stored"
+    # (configs.gelu_bwd; gelu_stored reuses the forward's erf residual)
+    gelu_bwd: str = "remat"
 
     @nn.compact
     def __call__(
@@ -426,7 +429,14 @@ class MERMlp(nn.Module):
             enable=self.enable,
         )
         h = MERDense(self.mlp_dim, name="fc1", **mer)(x, expert_ids, fold=fold)
-        h = apply_gelu(h, self.gelu_impl if fold else "erf")
+        if fold:
+            h = apply_gelu(h, self.gelu_impl)
+        elif self.gelu_bwd == "stored":
+            from prcv2025reid_tpu.ops.kernel_math import gelu_stored
+
+            h = gelu_stored(h)
+        else:
+            h = apply_gelu(h, "erf")
         return MERDense(D, name="fc2", **mer)(h, expert_ids, fold=fold)
 
 
@@ -542,6 +552,7 @@ class MERBlock(nn.Module):
     # folded-forward GELU formulation (configs.gelu_impl); the Pallas block
     # kernels keep their own in-kernel exact erf regardless
     gelu_impl: str = "erf"
+    gelu_bwd: str = "remat"  # training erf backward scheduling (configs.gelu_bwd)
 
     def setup(self):
         self.ln1 = LNParams(self.embed_dim, self.param_dtype, name="ln1")
@@ -567,6 +578,7 @@ class MERBlock(nn.Module):
             impl=self.mlp_impl,
             enable=self.enable_mer,
             gelu_impl=self.gelu_impl,
+            gelu_bwd=self.gelu_bwd,
             name="mlp",
         )
 

@@ -470,3 +470,49 @@ class TestClsOnlyTrainForward:
         assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(
             jax.tree.map(np.asarray, g)
         ))
+
+
+class TestGeluStored:
+    def test_forward_and_grad_match_exact(self):
+        from prcv2025reid_tpu.ops.kernel_math import gelu_stored
+
+        x = jnp.linspace(-8.0, 8.0, 2001)
+        np.testing.assert_allclose(
+            np.asarray(gelu_stored(x)),
+            np.asarray(jax.nn.gelu(x, approximate=False)),
+            rtol=1e-5, atol=1e-6,
+        )
+        g1 = jax.grad(lambda x: gelu_stored(x).sum())(x)
+        g2 = jax.grad(lambda x: jax.nn.gelu(x, approximate=False).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_trunk_grads_equal_under_stored_bwd(self):
+        from prcv2025reid_tpu.models.vit import MERVisionTransformer
+
+        def trunk(bwd):
+            return MERVisionTransformer(
+                embed_dim=64, num_layers=2, num_heads=4, mlp_dim=128,
+                patch_size=16, image_size=32, fusion_dim=32,
+                modalities=("vis", "nir"), gelu_bwd=bwd,
+            )
+
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))
+        v = trunk("remat").init(jax.random.PRNGKey(1), imgs)
+
+        def loss(bwd):
+            return lambda p: jnp.sum(
+                trunk(bwd).apply({"params": p}, imgs, deterministic=False)
+                .astype(jnp.float32) ** 2
+            )
+
+        g0 = jax.grad(loss("remat"))(v["params"])
+        g1 = jax.grad(loss("stored"))(v["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_config_rejects_typo(self):
+        with pytest.raises(ValueError, match="gelu_bwd"):
+            TrainingConfig(gelu_bwd="cached")

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="enable per-block rematerialization (remat_blocks)")
     ap.add_argument("--remat-policy", default="full", choices=("full", "dots"))
+    ap.add_argument("--gelu-bwd", default="remat", choices=("remat", "stored"),
+                    help="training GELU backward scheduling (configs.gelu_bwd)")
     args = ap.parse_args()
     P, K = (int(v) for v in args.pk.split("x"))
     B = P * K
@@ -53,6 +55,7 @@ def main():
         instances_per_id=K,
         remat_blocks=args.remat,
         remat_policy=args.remat_policy,
+        gelu_bwd=args.gelu_bwd,
     )
     num_classes = 400
     model = MultiModalReIDModel(config=config, num_classes=num_classes)
