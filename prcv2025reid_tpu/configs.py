@@ -196,13 +196,14 @@ class TrainingConfig:
     # Training always uses exact erf; bench.py gates non-exact GELU on
     # embedding parity + ranking equivalence before it can win.
     gelu_impl: str = "erf"
-    # TRAINING-path GELU backward scheduling: "remat" (default — XLA
-    # rematerializes the erf chain inside the fc2 backward fusions) or
-    # "stored" (ops/kernel_math.gelu_stored: the forward's erf is saved as a
-    # residual and the backward reuses it — exact math up to the residual's
-    # dtype rounding, trades ~[T,mlp_dim] activation storage for the erf
-    # recompute).  Measured via tools/perf_microbench.py gelu_bwd.
-    gelu_bwd: str = "remat"
+    # TRAINING-path GELU backward scheduling: "stored" (default —
+    # ops/kernel_math.gelu_stored: the forward's erf is saved as a residual
+    # and the backward reuses it; exact math up to the residual's dtype
+    # rounding; measured 6.65 vs 6.43 it/s at the 8x4 recipe batch) or
+    # "remat" (XLA rematerializes the erf chain — no extra activation
+    # memory; use for very large P*K where the ~155 MB/layer residuals
+    # would not fit alongside the activations).
+    gelu_bwd: str = "stored"
     # Pallas fused fc1-gelu-fc2 kernel: measured SLOWER than XLA on v5e (the
     # erf GELU is VPU-bound and Mosaic serializes it against the MXU); kept
     # for future scheduling work. docs/performance.md has the numbers.
