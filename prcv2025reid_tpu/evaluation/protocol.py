@@ -93,6 +93,16 @@ def embed_samples(
     feats_out: List[np.ndarray] = []
     pids_out: List[np.ndarray] = []
     mods = modalities if modalities is not None else ("vis",)
+    # one-deep pipeline: jax dispatch is async, so the NEXT batch's host-side
+    # decode/collate overlaps the device embed of the current one (the
+    # np.asarray fetch is deferred until the following batch is dispatched)
+    pending = None  # (device_feats, n_real, pids)
+
+    def _collect(p):
+        feats, n_real, pids = p
+        feats_out.append(np.asarray(feats)[:n_real])
+        pids_out.append(pids[:n_real])
+
     for start in range(0, len(indices), batch_size):
         chunk = list(indices[start : start + batch_size])
         n_real = len(chunk)
@@ -102,9 +112,12 @@ def embed_samples(
         batch = collate(samples, tokenizer)
         if sharding is not None:
             batch = jax.device_put(batch, sharding)  # pytree-aware, one call
-        feats = np.asarray(embed_fn(variables, batch))
-        feats_out.append(feats[:n_real])
-        pids_out.append(batch["pids"][:n_real])
+        feats = embed_fn(variables, batch)  # async dispatch
+        if pending is not None:
+            _collect(pending)
+        pending = (feats, n_real, batch["pids"])
+    if pending is not None:
+        _collect(pending)
     if not feats_out:
         return np.zeros((0, 1), np.float32), np.zeros((0,), np.int64)
     return np.concatenate(feats_out), np.concatenate(pids_out)

@@ -11,6 +11,7 @@ data + schedule stream.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -78,6 +79,14 @@ def restore_checkpoint(
     try:
         state = ckptr.restore(state_path, target)
     except ValueError:
+        logging.getLogger(__name__).warning(
+            "checkpoint leaf shapes differ from the template — retrying "
+            "non-strict (expected for the monitor-ring buffers when the "
+            "reader uses default ring sizes; if MODEL shapes were the "
+            "mismatch, the restored params are silently truncated/padded "
+            "and WRONG — rebuild the template from the checkpoint's "
+            "host_state.json config)"
+        )
         state = ckptr.restore(state_path, target, strict=False)
     with open(os.path.join(path, HOST_STATE_FILE)) as f:
         host_state = json.load(f)

@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--block-impl", default="xla")
+    ap.add_argument("--attn-backend", default="xla",
+                    choices=("xla", "splash", "onesaug"))
+    ap.add_argument("--gelu-impl", default="erf", choices=("erf", "tanh", "poly"))
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--out", default="/tmp/embed_trace")
     args = ap.parse_args()
@@ -42,6 +45,8 @@ def main():
     config = TrainingConfig(
         compute_dtype="bfloat16" if on_tpu else "float32",
         block_impl=args.block_impl,
+        attn_backend=args.attn_backend,
+        gelu_impl=args.gelu_impl,
     )
     model = MultiModalReIDModel(config=config, num_classes=400)
     Mv, S = len(config.vision_modalities), config.image_size
