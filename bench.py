@@ -219,12 +219,14 @@ def main():
             gallery, g_pids, queries, q_pids = rank_probe_images(S)
             g_ref = embed_all(eb, var, gallery)
             q_ref = embed_all(eb, var, queries)
+            ref_cache = {}
             for impl in survivors:
                 eb_i, var_i, _ = embedders[impl]
                 g_t = embed_all(eb_i, var_i, gallery)
                 q_t = embed_all(eb_i, var_i, queries)
                 r = ranking_equivalence(
-                    q_ref, g_ref, q_t, g_t, q_pids, g_pids
+                    q_ref, g_ref, q_t, g_t, q_pids, g_pids,
+                    ref_cache=ref_cache,
                 )
                 print(
                     f"{impl} ranking gate: top100-overlap={r['top_overlap']:.4f} "

@@ -251,6 +251,7 @@ def ranking_equivalence(
     q_pids: np.ndarray,
     g_pids: np.ndarray,
     topk: int = 100,
+    ref_cache: Optional[Dict] = None,
 ) -> Dict[str, float]:
     """Is a non-default compute path RETRIEVAL-equivalent to the reference
     path?  The product metric is ranking order (reference train.py:450-479),
@@ -262,7 +263,9 @@ def ranking_equivalence(
       sets between the two paths;
     - ``map_delta``: |mAP_test - mAP_ref| with the supplied pid labels.
 
-    All features are L2-normalized by the caller."""
+    All features are L2-normalized by the caller.  ``ref_cache`` (a dict the
+    caller keeps across calls) memoizes the reference path's orders + mAP so
+    comparing N candidate paths ranks the reference once, not N times."""
     k_eff = int(min(topk, g_ref.shape[0]))
 
     def orders(q, g):
@@ -274,13 +277,19 @@ def ranking_equivalence(
         _, idx = jax.lax.top_k(sims, k_eff)
         return np.asarray(idx)
 
-    o_ref = orders(q_ref, g_ref)
+    if ref_cache is not None and "o_ref" in ref_cache:
+        o_ref, m_ref = ref_cache["o_ref"], ref_cache["m_ref"]
+    else:
+        o_ref = orders(q_ref, g_ref)
+        m_ref = compute_retrieval_metrics(q_ref, q_pids, g_ref, g_pids)
+        if ref_cache is not None:
+            ref_cache["o_ref"] = o_ref
+            ref_cache["m_ref"] = m_ref
     o_test = orders(q_test, g_test)
     overlaps = [
         len(set(a.tolist()) & set(b.tolist())) / k_eff
         for a, b in zip(o_ref, o_test)
     ]
-    m_ref = compute_retrieval_metrics(q_ref, q_pids, g_ref, g_pids)
     m_test = compute_retrieval_metrics(q_test, q_pids, g_test, g_pids)
     return {
         "top_overlap": float(np.mean(overlaps)),
@@ -302,6 +311,7 @@ NUMERICS_PATH_FIELDS = (
     ("use_pallas_attention", False),
     ("use_fused_resln", False),
     ("use_fused_mlp", False),
+    ("gelu_impl", "erf"),
     ("compute_dtype", "bfloat16"),
 )
 
@@ -346,10 +356,13 @@ class GalleryCache:
 
     def load(self, indices) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         p = self._path(indices)
-        if os.path.exists(p):
+        try:
             z = np.load(p)
             return z["feats"], z["pids"]
-        return None
+        except (OSError, FileNotFoundError, ValueError):
+            # absent, or evicted/truncated by a concurrent process between
+            # our check and the read — treat as a miss and re-embed
+            return None
 
     def save(self, indices, feats: np.ndarray, pids: np.ndarray):
         os.makedirs(self.cache_dir, exist_ok=True)
@@ -366,10 +379,8 @@ class GalleryCache:
                 if f.startswith("gallery_") and f.endswith(".npz")
             ]
             entries.sort(key=os.path.getmtime, reverse=True)
-            keep = set(entries[: self.keep_newest])
-            keep.add(os.path.abspath(protect))
             for p in entries[self.keep_newest :]:
-                if os.path.abspath(p) not in keep and p not in keep:
+                if os.path.abspath(p) != os.path.abspath(protect):
                     os.remove(p)
         except OSError:  # concurrent eval processes racing on the same dir
             pass

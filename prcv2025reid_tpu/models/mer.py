@@ -297,10 +297,14 @@ class MERAttention(nn.Module):
             # the head split into the matmuls (see xla_attention_bshd);
             # 'splash' swaps in the Mosaic flash kernel (no [S,S] scores in
             # HBM), 'onesaug' the zero-reduction-pass XLA core — same
-            # layout contract (ops/attention.py)
+            # layout contract (ops/attention.py).  TRAINING (fold=False)
+            # always uses the reference-exact f32-softmax core: the
+            # serving formulations are gated on eval-time ranking
+            # equivalence, never on training dynamics (onesaug's no-max exp
+            # could overflow under training logit growth).
             from prcv2025reid_tpu.ops.attention import bshd_core
 
-            core = bshd_core(impl)
+            core = bshd_core(impl if fold else "xla")
 
             def split4(t):
                 return t.reshape(G * B, S, self.num_heads, head_dim)
@@ -626,11 +630,14 @@ class MERBlock(nn.Module):
         ``deterministic=False`` (training forward, round-3) the per-sample
         drop-path masks are applied to the CLS-row residual branches — the
         k/v inputs come from the block INPUT, so the masked-branch math on
-        the CLS row is exactly the full forward's CLS row."""
+        the CLS row is exactly the full forward's CLS row.  Training always
+        uses the reference-exact 'xla' core (see MERAttention)."""
         from prcv2025reid_tpu.ops.attention import bshd_core
 
         core = bshd_core(
-            self.attn_impl if self.attn_impl in ("xla", "onesaug") else "xla"
+            self.attn_impl
+            if (deterministic and self.attn_impl in ("xla", "onesaug"))
+            else "xla"
         )
         ids = tuple(expert_ids)
         G, B, S, D = x.shape

@@ -46,6 +46,15 @@ def save_checkpoint(
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "state"), state, force=True)
     ckptr.wait_until_finished()
+    host_state = dict(host_state)
+    # record the writer's monitor-ring shapes so any reader (eval CLI with a
+    # default template) can build an EXACT template and restore strictly —
+    # orbax metadata does not reliably expose saved global shapes across
+    # process/topology boundaries
+    host_state["ring_shapes"] = {
+        "metric_ring": list(np.shape(state.metric_ring)),
+        "grad_norm_hist": list(np.shape(state.grad_norm_hist)),
+    }
     with open(os.path.join(path, HOST_STATE_FILE), "w") as f:
         json.dump(host_state, f, default=_default)
 
@@ -67,29 +76,36 @@ def restore_checkpoint(
     state_path = os.path.join(path, "state")
     # ring-buffer leaves are sized by the WRITER's config (steps_per_epoch /
     # adaptive_clip_window); a reader that only wants params (eval CLI)
-    # builds its template with defaults.  The orbax metadata API does not
-    # reliably expose the saved global shapes (item metadata is absent for
-    # checkpoints written under a different process/topology, and the
-    # on-disk write_shape is per-SHARD), so on a shape mismatch retry
-    # non-strict: orbax truncates/pads ONLY the mismatched monitor-ring
-    # leaves to the reader's template — params/opt_state shapes still must
-    # match exactly or the retry fails the same way.  A true resume
-    # (Trainer) builds its template from the run config, so its ring shapes
-    # match and this path never triggers there.
+    # builds its template with defaults.  The host sidecar records the
+    # writer's ring shapes (save_checkpoint), so the template is corrected
+    # up front and the restore stays STRICT — model-shape mismatches still
+    # fail loudly.
+    with open(os.path.join(path, HOST_STATE_FILE)) as f:
+        host_state = json.load(f)
+    ring_shapes = host_state.get("ring_shapes") or {}
+    fixes = {}
+    for leaf_name, saved in ring_shapes.items():
+        cur = getattr(target, leaf_name, None)
+        if cur is not None and tuple(saved) != tuple(cur.shape):
+            fixes[leaf_name] = jax.ShapeDtypeStruct(
+                tuple(saved), cur.dtype, sharding=getattr(cur, "sharding", None)
+            )
+    if fixes:
+        target = target.replace(**fixes)
     try:
         state = ckptr.restore(state_path, target)
     except ValueError:
+        if ring_shapes:
+            raise  # shapes were known-exact: a real model mismatch
+        # legacy checkpoint without ring_shapes — last resort, and LOUD:
+        # a model-shape mismatch here would be silently truncated/padded
         logging.getLogger(__name__).warning(
-            "checkpoint leaf shapes differ from the template — retrying "
-            "non-strict (expected for the monitor-ring buffers when the "
-            "reader uses default ring sizes; if MODEL shapes were the "
-            "mismatch, the restored params are silently truncated/padded "
-            "and WRONG — rebuild the template from the checkpoint's "
-            "host_state.json config)"
+            "legacy checkpoint without recorded ring shapes — retrying "
+            "non-strict (if MODEL shapes were the mismatch, the restored "
+            "params are silently truncated/padded and WRONG — rebuild the "
+            "template from the checkpoint's host_state.json config)"
         )
         state = ckptr.restore(state_path, target, strict=False)
-    with open(os.path.join(path, HOST_STATE_FILE)) as f:
-        host_state = json.load(f)
     return state, host_state
 
 

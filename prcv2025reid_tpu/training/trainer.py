@@ -52,6 +52,7 @@ from prcv2025reid_tpu.training.param_groups import (
 )
 from prcv2025reid_tpu.training.schedulers import PlateauScheduler, SDMScheduler
 from prcv2025reid_tpu.training.train_step import (
+    RING_CHANNELS,
     TrainState,
     make_combo_embed_step,
     make_train_step,
@@ -346,7 +347,7 @@ class Trainer:
         ring_means = (
             rows[finite].mean(axis=0)
             if finite.any()
-            else np.zeros(rows.shape[1] if len(rows) else 6, np.float32)
+            else np.zeros(len(RING_CHANNELS), np.float32)
         )
 
         avg = {k: v / max(1, n_logged) for k, v in sums.items()}

@@ -37,6 +37,7 @@ class TestCacheTag:
             ("use_pallas_attention", True),
             ("use_fused_resln", True),
             ("use_fused_mlp", True),
+            ("gelu_impl", "tanh"),
             ("compute_dtype", "float32"),
         ],
     )
@@ -175,19 +176,25 @@ class TestOnesaugAttention:
         got = trunk("onesaug").apply(variables, imgs)
         np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
 
-    def test_training_forward_works(self):
-        # onesaug also runs under fold=False (training) — same core fn
+    def test_training_forces_exact_core(self):
+        """attn_backend=onesaug is a SERVING formulation: the training
+        forward (fold=False) must use the reference-exact xla core — a
+        user copying the bench-promoted serving flags into train.py must
+        not change training numerics."""
         from prcv2025reid_tpu.models.vit import MERVisionTransformer
 
-        t = MERVisionTransformer(
-            embed_dim=64, num_layers=2, num_heads=4, mlp_dim=128,
-            patch_size=16, image_size=32, fusion_dim=32,
-            modalities=("vis", "nir"), attn_impl="onesaug",
-        )
+        def trunk(impl):
+            return MERVisionTransformer(
+                embed_dim=64, num_layers=2, num_heads=4, mlp_dim=128,
+                patch_size=16, image_size=32, fusion_dim=32,
+                modalities=("vis", "nir"), attn_impl=impl,
+            )
+
         imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))
-        variables = t.init(jax.random.PRNGKey(1), imgs)
-        out = t.apply(variables, imgs, deterministic=False)
-        assert np.isfinite(np.asarray(out)).all()
+        variables = trunk("xla").init(jax.random.PRNGKey(1), imgs)
+        a = trunk("xla").apply(variables, imgs, deterministic=False)
+        b = trunk("onesaug").apply(variables, imgs, deterministic=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestGeluImpl:

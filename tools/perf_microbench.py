@@ -832,7 +832,10 @@ def main():
         names = list(PROBES)
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     for name in names:
-        PROBES[name]()
+        try:
+            PROBES[name]()
+        except Exception as e:  # one broken probe must not kill the rest
+            print(f"probe {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":

@@ -41,21 +41,41 @@ TOLERANCE = 0.15
 RECORDED_WINNER = "onesaug_tanh"  # docs/performance.md round-3 headline
 
 
+# probe stdout label -> RECORDED key (tools/perf_microbench.py timed())
+_PROBE_LABELS = {
+    "XLA bf16 matmul": "xla_bf16",
+    "Pallas bf16 matmul": "pallas_bf16",
+    "XLA int8 matmul": "xla_int8",
+    "Pallas int8 matmul": "pallas_int8",
+}
+
+
 def run_probes():
-    import jax
-
-    from prcv2025reid_tpu.utils.jax_setup import enable_compile_cache
-    from tools import perf_microbench as mb
-
-    enable_compile_cache()
-    print(f"backend: {jax.default_backend()}", flush=True)
-    results = {}
-    for name in RECORDED:
+    """Run the roofline probes in a SUBPROCESS and parse their stdout — the
+    parent must never initialize the TPU client, because the bench step
+    below is also a subprocess and two live TPU processes deadlock the
+    chip/compiler (CLAUDE.md)."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "perf_microbench.py"),
+         *RECORDED.keys()],
+        capture_output=True, text=True, timeout=3600,
+    )
+    sys.stdout.write(proc.stdout)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr)
+    results = {name: None for name in RECORDED}
+    for line in proc.stdout.splitlines():
+        if ":" not in line:
+            continue
+        label, _, rest = line.partition(":")
+        key = _PROBE_LABELS.get(label.strip())
+        if key is None:
+            continue
         try:
-            results[name] = mb.PROBES[name]()
-        except Exception as e:
-            print(f"probe {name} FAILED: {type(e).__name__}: {e}", flush=True)
-            results[name] = None
+            results[key] = float(rest.split()[0]) * 1e12
+        except (ValueError, IndexError):
+            pass
     return results
 
 
