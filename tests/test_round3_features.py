@@ -523,3 +523,37 @@ class TestGeluStored:
     def test_config_rejects_typo(self):
         with pytest.raises(ValueError, match="gelu_bwd"):
             TrainingConfig(gelu_bwd="cached")
+
+
+class TestBenchImplConfigs:
+    def test_every_impl_config_constructs(self):
+        """Every bench measurement path must map to a valid TrainingConfig
+        (typos in IMPL_CONFIG would silently drop a path at measure time)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        for impl, overrides in bench.IMPL_CONFIG.items():
+            cfg = TrainingConfig(**overrides)
+            assert cfg is not None, impl
+
+
+class TestToolchainWatchParsing:
+    def test_probe_output_parsing(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "toolchain_watch",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "toolchain_watch.py"),
+        )
+        tw = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tw)
+        # the exact stdout format of perf_microbench.timed()
+        line = "             XLA int8 matmul:   146.23 TOP/s  (30 iters, 119.0 GFLOP/iter)"
+        label, _, rest = line.partition(":")
+        assert tw._PROBE_LABELS[label.strip()] == "xla_int8"
+        assert float(rest.split()[0]) == 146.23

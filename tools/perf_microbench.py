@@ -804,12 +804,79 @@ def probe_gelu_bwd():
           flops_per_iter=flops, label="mlp fwd+bwd tanh (ref: not exact)")
 
 
+def probe_attn4():
+    """Round-3 follow-up: hlo_attr shows attn/split at ~0.8 ms/layer — the
+    last-axis jnp.split of the packed [N,S,3D] QKV materializes three
+    strided copies.  Candidates: leading-3-axis projection (the W reshape
+    makes q/k/v contiguous views), unsplit packed reshape, and three
+    separate projections.  Measures projection + split + onesaug core."""
+    B, S, H, Dh = (160, 197, 12, 64) if _ON_TPU else (4, 197, 4, 16)
+    D = H * Dh
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, S, D), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (D, 3 * D), jnp.bfloat16) * 0.03
+    b = jnp.zeros((3 * D,), jnp.bfloat16)
+    flops = 2.0 * B * S * D * 3 * D + 2.0 * B * H * S * S * Dh * 2
+
+    from prcv2025reid_tpu.ops.attention import xla_attention_bshd_onesaug
+
+    def core(q, k, v):
+        return xla_attention_bshd_onesaug(
+            q.reshape(B, S, H, Dh), k.reshape(B, S, H, Dh),
+            v.reshape(B, S, H, Dh),
+        )
+
+    def v_split(x):  # current model path
+        qkv = jnp.einsum("bsi,io->bso", x, w) + b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return core(q, k, v)
+
+    def v_reshape5(x):  # free reshape [B,S,3,H,Dh], strided unstack
+        qkv = (jnp.einsum("bsi,io->bso", x, w) + b).reshape(B, S, 3, H, Dh)
+        return xla_attention_bshd_onesaug(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        )
+
+    w3 = w.reshape(D, 3, D)
+    b3 = b.reshape(3, 1, 1, D)
+
+    def v_lead3(x):  # leading-3 output: q/k/v contiguous views
+        qkv = jnp.einsum("bsi,iko->kbso", x, w3) + b3
+        return core(qkv[0], qkv[1], qkv[2])
+
+    wq, wk, wv = jnp.split(w, 3, axis=1)
+    bq = jnp.zeros((D,), jnp.bfloat16)
+
+    def v_three(x):  # three separate projections, no split
+        q = jnp.einsum("bsi,io->bso", x, wq) + bq
+        k = jnp.einsum("bsi,io->bso", x, wk) + bq
+        v = jnp.einsum("bsi,io->bso", x, wv) + bq
+        return core(q, k, v)
+
+    ref = np.asarray(v_split(x), np.float32)
+    for name, f in {
+        "packed + split (model)": v_split,
+        "reshape5 strided unstack": v_reshape5,
+        "leading-3 einsum views": v_lead3,
+        "three separate projs": v_three,
+    }.items():
+        err = float(np.max(np.abs(np.asarray(f(x), np.float32) - ref)))
+
+        def fn(x, f=f):
+            def body(i, acc):
+                xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                o = f(xi)
+                return acc + o[0, 0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        timed(fn, x, flops_per_iter=flops, label=f"attn4 {name} |err|{err:.4f}")
+
+
 PROBES = {
     "fc2_fusion": probe_fc2_fusion,
     "attn3": probe_attn3,
     "fc2b": probe_fc2b,
     "fc2c": probe_fc2c,
     "gelu_bwd": probe_gelu_bwd,
+    "attn4": probe_attn4,
     "xla_bf16": probe_xla_bf16,
     "xla_int8": probe_xla_int8,
     "pallas_bf16": probe_pallas_bf16,
