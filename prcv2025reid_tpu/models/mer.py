@@ -284,7 +284,19 @@ class MERAttention(nn.Module):
                     jnp.einsum("gbsr,gro->gbso", z[..., j * r : (j + 1) * r], b_sel)
                 )
             qkv = qkv + jnp.concatenate(deltas, axis=-1) * scale
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if fold:
+            # EVAL: free-reshape unstack instead of jnp.split — the last-axis
+            # split materializes three strided copies (~0.8 ms/layer in the
+            # round-3 trace); [.., 3, H, Dh] views fuse into the consumer
+            # matmuls (probe_attn4: 52 -> 65 TFLOP/s; end-to-end 3,181 ->
+            # 3,618 embeds/s).  TRAINING keeps jnp.split: the strided views'
+            # scatter-style gradient measured 6.07 vs 6.65 it/s.
+            qkv5 = qkv.reshape(G, B, S, 3, self.num_heads, head_dim)
+            q, k, v = (
+                qkv5[..., 0, :, :], qkv5[..., 1, :, :], qkv5[..., 2, :, :]
+            )
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
         impl = self.attn_impl
         if impl == "auto":
@@ -306,10 +318,10 @@ class MERAttention(nn.Module):
 
             core = bshd_core(impl if fold else "xla")
 
-            def split4(t):
+            def merge2(t):  # [G,B,S,H,Dh] (fold) or [G,B,S,D] -> [G*B,S,H,Dh]
                 return t.reshape(G * B, S, self.num_heads, head_dim)
 
-            out = core(split4(q), split4(k), split4(v))
+            out = core(merge2(q), merge2(k), merge2(v))
             out = out.reshape(G, B, S, D)
         else:
             def split_heads(t):
@@ -711,15 +723,13 @@ class MERBlock(nn.Module):
         qkv = fused_ln_qkv(
             xf, ln1_s, ln1_b, w_qkv_k, b_qkv_g, quant, 256, interpret
         )  # [G, B*S, 3D]
-        q, k, v = jnp.split(qkv.reshape(G * B, S, 3 * D), 3, axis=-1)
-
-        def split4(t):
-            return t.reshape(G * B, S, self.num_heads, head_dim)
+        qkv5 = qkv.reshape(G * B, S, 3, self.num_heads, head_dim)
+        q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
 
         core = bshd_core(
             self.attn_impl if self.attn_impl in ("xla", "onesaug") else "xla"
         )
-        attn = core(split4(q), split4(k), split4(v))
+        attn = core(q, k, v)
         attn = attn.reshape(G, B * S, D)
         if impl == "fused_qkv":
             # kernel A only: out-proj / residual / LN2 / MLP stay on XLA
