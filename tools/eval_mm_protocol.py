@@ -66,6 +66,17 @@ def main(argv=None):
         "checkpoint config)",
     )
     ap.add_argument(
+        "--attn_backend", default=None,
+        choices=("xla", "splash", "onesaug"),
+        help="override the attention core for embedding (bench.py ranking-"
+        "gates these; 'onesaug' + --gelu_impl=tanh is the measured-fastest "
+        "equivalent path on v5e — docs/performance.md round 3)",
+    )
+    ap.add_argument(
+        "--gelu_impl", default=None, choices=("erf", "tanh", "poly"),
+        help="override the GELU formulation for embedding",
+    )
+    ap.add_argument(
         "--exclude_same_image",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -84,11 +95,21 @@ def main(argv=None):
         json_file=args.json_file
         or os.path.join(args.dataset_root, "text_annos.json"),
     )
-    if args.block_impl is not None:
-        # eval-time compute-path override (same param tree; gallery
-        # embedding dominates eval time and fused_int8 is the measured
-        # fastest on v5e — docs/performance.md)
-        config = config.replace(block_impl=args.block_impl)
+    # eval-time compute-path overrides (same param tree; gallery embedding
+    # dominates eval time — docs/performance.md).  checkpoint_cache_tag keys
+    # on every NUMERICS_PATH_FIELDS value, so overridden paths never share
+    # cached gallery features with the exact path.
+    overrides = {
+        k: v
+        for k, v in (
+            ("block_impl", args.block_impl),
+            ("attn_backend", args.attn_backend),
+            ("gelu_impl", args.gelu_impl),
+        )
+        if v is not None
+    }
+    if overrides:
+        config = config.replace(**overrides)
     num_classes = host["num_classes"]
 
     dataset = MultiModalDataset(config, split="val")

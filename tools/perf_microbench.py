@@ -870,8 +870,81 @@ def probe_attn4():
         timed(fn, x, flops_per_iter=flops, label=f"attn4 {name} |err|{err:.4f}")
 
 
+def probe_attn5():
+    """Round-3 follow-up #2: the round-3 trace attributes ~4 ms/step to the
+    onesaug normalize (div) + reshapes feeding the out projection — the
+    [B,S,H,65] PV output is sliced, divided by the denominator column, and
+    re-tiled to [B,S,768] before the out-proj matmul.  Candidates fold the
+    per-head normalization into the out-proj contraction (zero-padded
+    [H,65,D] weight) so the normalized tensor is never materialized.
+    Measures the onesaug core + out projection chain."""
+    B, S, H, Dh = (160, 197, 12, 64) if _ON_TPU else (4, 197, 4, 16)
+    D = H * Dh
+    kq, kk, kv, kw = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(kq, (B, S, H, Dh), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, S, H, Dh), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, S, H, Dh), jnp.bfloat16)
+    wo = jax.random.normal(kw, (D, D), jnp.bfloat16) * 0.03
+    bo = jnp.zeros((D,), jnp.bfloat16)
+    scale = Dh**-0.5
+    flops = 2.0 * B * H * S * S * Dh * 2 + 2.0 * B * S * D * D
+
+    def pv65(q, k, v):  # onesaug core up to (unnormalized out, denom col)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        p = jnp.exp(s.astype(jnp.float32) * scale).astype(q.dtype)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
+        )
+        return jnp.einsum("bhqk,bkhe->bqhe", p, v_aug)
+
+    def v_model(q, k, v):  # current: div, slice, reshape, out-proj matmul
+        o = pv65(q, k, v)
+        denom = jnp.maximum(o[..., Dh:], 1e-8)
+        a = (o[..., :Dh] / denom).reshape(B, S, D)
+        return jnp.einsum("bsi,io->bso", a, wo) + bo
+
+    wo_h = wo.reshape(H, Dh, D)
+    wo65 = jnp.concatenate([wo_h, jnp.zeros((H, 1, D), wo.dtype)], axis=1)
+
+    def v_fold(q, k, v):  # normalization folded into the contraction
+        o = pv65(q, k, v)
+        r = jnp.maximum(o[..., Dh], 1e-8)
+        return jnp.einsum("bqhe,bqh,heD->bqD", o, 1.0 / r, wo65) + bo
+
+    def v_fold_slice(q, k, v):  # slice first, fold div, [H,Dh,D] weight
+        o = pv65(q, k, v)
+        r = jnp.maximum(o[..., Dh], 1e-8)
+        return jnp.einsum("bqhd,bqh,hdD->bqD", o[..., :Dh], 1.0 / r, wo_h) + bo
+
+    def v_einsum4(q, k, v):  # explicit div, reshape-free 4d contraction
+        o = pv65(q, k, v)
+        denom = jnp.maximum(o[..., Dh:], 1e-8)
+        a = o[..., :Dh] / denom
+        return jnp.einsum("bqhd,hdD->bqD", a, wo_h) + bo
+
+    ref = np.asarray(v_model(q, k, v), np.float32)
+    for name, f in {
+        "div+reshape+matmul (model)": v_model,
+        "fold-norm [H,65,D] weight": v_fold,
+        "fold-norm sliced [H,Dh,D]": v_fold_slice,
+        "div + 4d einsum": v_einsum4,
+    }.items():
+        err = float(np.max(np.abs(np.asarray(f(q, k, v), np.float32) - ref)))
+
+        def fn(q, f=f):
+            def body(i, acc):
+                qi = q + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                o = f(qi, k, v)
+                return acc + o[0, 0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        timed(fn, q, flops_per_iter=flops, label=f"attn5 {name} |err|{err:.4f}")
+
+
 PROBES = {
     "fc2_fusion": probe_fc2_fusion,
+    "attn5": probe_attn5,
     "attn3": probe_attn3,
     "fc2b": probe_fc2b,
     "fc2c": probe_fc2c,
