@@ -222,6 +222,13 @@ class TrainingConfig:
     # data/native/image_decode.cpp (libjpeg + PIL-matching resampler); builds
     # on first use, falls back to PIL per-image when unavailable.
     use_native_decode: bool = False
+    # Donate the train state into the jitted train step (XLA aliases the
+    # param/optimizer/monitor buffers in place instead of allocating a fresh
+    # copy each step).  Saves one full state footprint of peak HBM
+    # (params + AdamW m/v, ~3x params) — the margin that lets large P*K
+    # recipes keep gelu_bwd=stored.  The Trainer enables this; direct
+    # make_train_step callers opt in (tests reuse pre-step state objects).
+    donate_train_state: bool = True
     # jax.checkpoint on every transformer block: the backward recomputes
     # block activations instead of keeping them live — ~1/3 more forward
     # FLOPs for ~12x less activation memory, enabling larger P*K batches.

@@ -115,14 +115,25 @@ def make_train_step(
     model: MultiModalReIDModel,
     tx: optax.GradientTransformation,
     config: TrainingConfig,
+    donate: bool = False,
 ) -> Callable:
     """Build train_step(state, batch, sdm_weight, sdm_tau) -> (state, metrics).
 
     ``enable_modality_dropout`` is static (fixed per epoch by the warmup rule,
     models/model.py:439-442) so both variants compile once each.
+
+    ``donate=True`` donates the input state: XLA aliases the param/optimizer/
+    monitor buffers output-over-input instead of double-buffering them, saving
+    one full state footprint of peak HBM.  The caller must not touch the
+    pre-step state object afterwards (the Trainer rebinds ``self.state``;
+    tests that compare old-vs-new state keep the default).
     """
 
-    @functools.partial(jax.jit, static_argnames=("enable_modality_dropout",))
+    jit_kwargs: Dict = {"static_argnames": ("enable_modality_dropout",)}
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def train_step(
         state: TrainState,
         batch: Dict[str, jnp.ndarray],

@@ -177,7 +177,9 @@ class Trainer:
             clip_window=config.adaptive_clip_window,
         )
         self.state = replicate_state(self.state, self.mesh)
-        self.train_step = make_train_step(self.model, self.tx, config)
+        self.train_step = make_train_step(
+            self.model, self.tx, config, donate=config.donate_train_state
+        )
         self._embed_cache: Dict = {}
 
         counts = count_trainable(params, config.freeze_backbone)

@@ -212,6 +212,23 @@ class TestTrainStep:
         assert int(s.grad_norm_count) == 1
         assert float(s.grad_norm_hist[0]) > 0
 
+    def test_donated_state_aliases_buffers(self, setup):
+        """donate=True (the Trainer's production path) must invalidate the
+        pre-step state object and still step correctly when rebound."""
+        config, model, tx, state, _ = setup
+        donating = make_train_step(model, tx, config, donate=True)
+        # private copy: the module-scoped fixture state is shared across tests
+        s = jax.tree.map(jnp.copy, state)
+        old_leaf = s.params["encoder"]["vision"]["block_0"]["attn"]["q_proj"]["lora_B"]
+        b = _batch()
+        s2, m = donating(s, b, jnp.float32(0.1), jnp.float32(0.2))
+        assert np.isfinite(float(m["total_loss"]))
+        with pytest.raises(RuntimeError, match="deleted"):
+            np.asarray(old_leaf)  # donated buffer is gone
+        step2 = int(s2.step)  # read BEFORE s2 is donated in turn
+        s3, m2 = donating(s2, b, jnp.float32(0.1), jnp.float32(0.2))
+        assert int(s3.step) == step2 + 1 == 2
+
     def test_nan_batch_skips_everything(self, setup):
         """A non-finite loss must leave params, optimizer state, BN stats and
         the clip history untouched (reference skips optimizer.step entirely,

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--remat-policy", default="full", choices=("full", "dots"))
     ap.add_argument("--gelu-bwd", default="remat", choices=("remat", "stored"),
                     help="training GELU backward scheduling (configs.gelu_bwd)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the train state into the step (the Trainer's "
+                         "production aliasing path, configs.donate_train_state)")
     args = ap.parse_args()
     P, K = (int(v) for v in args.pk.split("x"))
     B = P * K
@@ -80,7 +83,7 @@ def main():
     state = TrainState.create(
         variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(1)
     )
-    step_fn = make_train_step(model, tx, config)
+    step_fn = make_train_step(model, tx, config, donate=args.donate)
     sdm_w = jnp.float32(0.1)
     sdm_tau = jnp.float32(config.sdm_init_temperature)
 
@@ -98,7 +101,8 @@ def main():
     assert np.isfinite(loss)
     print(f"steady state: {args.steps / dt:.2f} it/s "
           f"({B * args.steps / dt:.1f} samples/s) at P={P} K={K} "
-          f"(batch {B}, {Mv} vision modalities + text, remat={args.remat}/{args.remat_policy})")
+          f"(batch {B}, {Mv} vision modalities + text, "
+          f"remat={args.remat}/{args.remat_policy}, donate={args.donate})")
 
     if args.no_trace:
         return
