@@ -557,3 +557,40 @@ class TestToolchainWatchParsing:
         label, _, rest = line.partition(":")
         assert tw._PROBE_LABELS[label.strip()] == "xla_int8"
         assert float(rest.split()[0]) == 146.23
+
+    def test_changed_probe_requires_reproduction(self):
+        """A single noisy excursion outside tolerance must be re-measured;
+        only a deviation that reproduces is kept (measured case: xla_int8
+        122T one run, 141T the next, recorded 146T)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "toolchain_watch",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "toolchain_watch.py"),
+        )
+        tw = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tw)
+        good = {n: rec for n, rec in tw.RECORDED.items()}
+
+        # noisy excursion on one probe; second run back at the record
+        noisy = dict(good, xla_int8=122e12)
+        calls = []
+
+        def rerun():
+            calls.append(1)
+            return dict(good)
+
+        out = tw.confirm_probes(dict(noisy), rerun)
+        assert calls, "deviation must trigger a confirm run"
+        assert out["xla_int8"] == good["xla_int8"]  # excursion discarded
+
+        # real move: both runs deviate -> the deviating reading survives
+        moved = dict(good, pallas_bf16=150e12)
+        out = tw.confirm_probes(dict(moved), lambda: dict(moved))
+        assert out["pallas_bf16"] == 150e12
+
+        # all probes at the record: no confirm run at all
+        calls.clear()
+        out = tw.confirm_probes(dict(good), rerun)
+        assert not calls and out == good

@@ -307,7 +307,9 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="output .npz (features, ids)")
     ap.add_argument(
         "--batch_size", type=int, default=None,
-        help="default = checkpoint config.inference_batch_size",
+        help="default = checkpoint config.inference_batch_size (latency-"
+        "oriented); B=160 is the measured v5e throughput optimum "
+        "(docs/performance.md batch sweep)",
     )
     ap.add_argument("--benchmark", action="store_true", help="print embeds/s and exit")
     ap.add_argument(

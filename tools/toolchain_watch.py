@@ -79,6 +79,33 @@ def run_probes():
     return results
 
 
+def confirm_probes(probes, run_again):
+    """Require a deviation to reproduce before it can be reported CHANGED.
+
+    Single-run probe readings fluctuate ~±10% on this chip (measured: one
+    xla_int8 excursion to -16% that re-measured at -3%); one noisy reading
+    must not send someone off to re-evaluate the kernels.  Any probe outside
+    TOLERANCE (or missing) triggers ONE fresh run of all probes; for each
+    deviating probe the reading closer to the record is kept — so CHANGED
+    requires BOTH runs to deviate."""
+    deviating = [
+        n for n, rec in RECORDED.items()
+        if probes.get(n) is None or abs((probes[n] - rec) / rec) > TOLERANCE
+    ]
+    if not deviating:
+        return probes
+    print(f"\n== {len(deviating)} probe(s) deviated — confirming with a "
+          "second run ==", flush=True)
+    second = run_again()
+    for n in deviating:
+        a, b = probes.get(n), second.get(n)
+        if a is None or (
+            b is not None and abs(b - RECORDED[n]) < abs(a - RECORDED[n])
+        ):
+            probes[n] = b
+    return probes
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--fast", action="store_true",
@@ -86,7 +113,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     changed = []
-    probes = run_probes()
+    probes = confirm_probes(run_probes(), run_probes)
     print("\n== probe diff vs docs/performance.md ==")
     for name, rec in RECORDED.items():
         got = probes.get(name)
@@ -97,7 +124,8 @@ def main(argv=None):
         delta = (got - rec) / rec
         flag = "PASS" if abs(delta) <= TOLERANCE else "CHANGED"
         if flag == "CHANGED":
-            changed.append(f"probe {name}: {got / 1e12:.1f}T vs {rec / 1e12:.0f}T")
+            changed.append(f"probe {name}: {got / 1e12:.1f}T vs {rec / 1e12:.0f}T"
+                           " (reproduced on 2 runs)")
         print(f"  {name:>12s}: {got / 1e12:6.1f}T vs recorded "
               f"{rec / 1e12:.0f}T ({delta:+.1%}) {flag}")
 
