@@ -146,6 +146,57 @@ class FeatureFusion(nn.Module):
         return (x * valid).sum(axis=1) / counts
 
 
+class _TorchBatchNorm(nn.Module):
+    """BatchNorm with torch.nn.BatchNorm1d's EXACT running-stat semantics.
+
+    flax.linen.BatchNorm feeds the *biased* batch variance into the running
+    average; torch normalizes with the biased variance but accumulates the
+    UNBIASED one (x n/(n-1)) into ``running_var`` — so eval-mode features of
+    a trained model diverge between the two (pinned by
+    tests/test_reference_parity.py::TestTrainTrajectoryGoldenParity).
+    Variable layout matches flax BatchNorm (params: ``scale``; batch_stats:
+    ``mean``/``var``) — the converter contract is unchanged.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9  # decay of the running stat (torch momentum=0.1)
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((D,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((D,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = x.shape[0]
+            mean = x.mean(axis=0)
+            mean2 = (x * x).mean(axis=0)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * unbiased
+                )
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale
+
+
 class BNNeck(nn.Module):
     """BatchNorm -> L2-normalize x8 -> dropout -> bias-free classifier.
 
@@ -153,7 +204,8 @@ class BNNeck(nn.Module):
     normalization must match exactly for retrieval parity.  The BN bias is
     frozen at zero in the reference — here it simply does not exist.
     Cross-replica batch statistics use ``axis_name`` when set (data-parallel
-    BN under pjit — SURVEY.md §7 hard part 2).
+    BN under shard_map/pmap; under pjit/GSPMD the stats are global already —
+    SURVEY.md §7 hard part 2).
     """
 
     num_classes: int
@@ -166,13 +218,11 @@ class BNNeck(nn.Module):
     def __call__(
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        bn = nn.BatchNorm(
+        bn = _TorchBatchNorm(
             use_running_average=not train,
-            use_bias=False,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name if train else None,
-            dtype=jnp.float32,
             param_dtype=self.param_dtype,
             name="bn",
         )(x.astype(jnp.float32))

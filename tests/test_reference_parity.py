@@ -795,6 +795,60 @@ class TestFullModelGoldenParity:
             )
 
 
+LORA_LINEARS = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
+
+
+@pytest.fixture(scope="module")
+def tpair(full_model_pair):
+    """Train-mode pair: deepcopied reference in train() with dropouts zeroed,
+    LoRA B randomized and synced torch->jax (at the zero-init B,
+    d loss/d lora_A would be identically zero)."""
+    import copy
+
+    torch, ref_model0, ours, variables, config = full_model_pair
+    import jax
+
+    ref = copy.deepcopy(ref_model0)
+    ref.train()
+    ref.current_epoch = 10
+    # the reference SDM module HARD-CODES p=0.1 dropouts
+    # (models/model.py:19-45) — zero them for deterministic train-mode
+    # parity (our side is zeroed via config.sdm_dropout)
+    ref.sdm_module.semantic_attn.dropout = 0.0
+    for m in ref.sdm_module.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+    # np.array (not asarray): jax array views are read-only and the LoRA
+    # slots are assigned below
+    variables = jax.tree.map(lambda x: np.array(x), variables)
+    p = variables["params"]
+    torch.manual_seed(33)
+    vis_mods = ("vis", "nir", "sk", "cp")
+    for i, blk in enumerate(ref.clip_encoder.vision_layers):
+        ours_blk = p["encoder"]["vision"][f"block_{i}"]
+        for name in LORA_LINEARS:
+            lin = getattr(blk.attn, name, None) or getattr(blk.mlp, name)
+            tree = (
+                ours_blk["attn"][name]
+                if name.endswith("_proj")
+                else ours_blk["mlp"][name]
+            )
+            for slot, mod in enumerate(vis_mods):
+                ad = lin.loras[mod]
+                ad.lora_B.weight.data.normal_(0, 0.02)
+                tree["lora_A"][slot] = (
+                    ad.lora_A.weight.detach().numpy().T.astype(np.float32)
+                )
+                tree["lora_B"][slot] = (
+                    ad.lora_B.weight.detach().numpy().T.astype(np.float32)
+                )
+    import jax.numpy as jnp
+
+    variables = jax.tree.map(jnp.asarray, variables)
+    return torch, ref, ours, variables, config
+
+
 class TestTrainStepGoldenParity:
     """VERDICT r2 #2: TRAIN-MODE golden parity — the SDM-module path the
     reference applies to features before fusion when training
@@ -803,59 +857,10 @@ class TestTrainStepGoldenParity:
     the last mAP-relevant semantic surface the eval-mode oracles do not pin.
 
     All dropout/drop-path are zero in the shared fixture config, so train
-    mode is deterministic on both sides.  LoRA B matrices are randomized
-    (and synced torch->jax) so the A/B gradients are non-trivial — at the
-    zero-init B, d loss/d lora_A would be identically zero."""
+    mode is deterministic on both sides."""
 
     IMG, CTX = _FP.IMG, _FP.CTX
-    LORA_LINEARS = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
-
-    @pytest.fixture(scope="class")
-    def tpair(self, full_model_pair):
-        import copy
-
-        torch, ref_model0, ours, variables, config = full_model_pair
-        import jax
-
-        ref = copy.deepcopy(ref_model0)
-        ref.train()
-        ref.current_epoch = 10
-        # the reference SDM module HARD-CODES p=0.1 dropouts
-        # (models/model.py:19-45) — zero them for deterministic train-mode
-        # parity (our side is zeroed via config.sdm_dropout)
-        ref.sdm_module.semantic_attn.dropout = 0.0
-        for m in ref.sdm_module.modules():
-            if isinstance(m, torch.nn.Dropout):
-                m.p = 0.0
-
-        # np.array (not asarray): jax array views are read-only and the LoRA
-        # slots are assigned below
-        variables = jax.tree.map(lambda x: np.array(x), variables)
-        p = variables["params"]
-        torch.manual_seed(33)
-        vis_mods = ("vis", "nir", "sk", "cp")
-        for i, blk in enumerate(ref.clip_encoder.vision_layers):
-            ours_blk = p["encoder"]["vision"][f"block_{i}"]
-            for name in self.LORA_LINEARS:
-                lin = getattr(blk.attn, name, None) or getattr(blk.mlp, name)
-                tree = (
-                    ours_blk["attn"][name]
-                    if name.endswith("_proj")
-                    else ours_blk["mlp"][name]
-                )
-                for slot, mod in enumerate(vis_mods):
-                    ad = lin.loras[mod]
-                    ad.lora_B.weight.data.normal_(0, 0.02)
-                    tree["lora_A"][slot] = (
-                        ad.lora_A.weight.detach().numpy().T.astype(np.float32)
-                    )
-                    tree["lora_B"][slot] = (
-                        ad.lora_B.weight.detach().numpy().T.astype(np.float32)
-                    )
-        import jax.numpy as jnp
-
-        variables = jax.tree.map(jnp.asarray, variables)
-        return torch, ref, ours, variables, config
+    LORA_LINEARS = LORA_LINEARS
 
     def _batch(self, rng):
         imgs = rng.normal(size=(4, 4, self.IMG, self.IMG, 3)).astype(np.float32)
@@ -1081,4 +1086,197 @@ class TestTrainStepGoldenParity:
         np.testing.assert_allclose(
             got_null, ref_delta["null_vis"][0], rtol=2e-3, atol=2e-6,
             err_msg="null_vis",
+        )
+
+
+class TestTrainTrajectoryGoldenParity:
+    """MULTI-STEP training trajectory vs the reference: N AdamW steps over the
+    reference's trainable subset (LoRA / fusion / BNNeck / null tokens,
+    train.py:1417-1425) on identical batches, then an EVAL-MODE forward.
+
+    This pins what single-step parity cannot: compounding of optimizer state
+    across steps and — critically — the BN *running-statistics* evolution
+    (torch BatchNorm1d accumulates the UNBIASED batch variance into
+    running_var while normalizing with the biased one; models/model.py:186-224
+    BNNeck eval-mode features depend on it, i.e. the features the retrieval
+    protocol ranks with after training)."""
+
+    IMG, CTX, C = _FP.IMG, _FP.CTX, _FP.C
+    N_STEPS = 3
+    LR, WD = 1e-3, 0.01
+
+    def _batch(self, step):
+        rng = np.random.default_rng(1000 + step)
+        imgs = rng.normal(size=(4, 4, self.IMG, self.IMG, 3)).astype(np.float32)
+        image_mask = np.asarray(
+            [[1, 1, 1, 1], [1, 0, 1, 0], [1, 1, 0, 0], [0, 1, 1, 1]],
+            np.float32,
+        )
+        labels = rng.integers(0, self.C, 4).astype(np.int32)
+        return imgs, image_mask, labels
+
+    def test_trajectory_and_eval_mode_match(self, tpair):
+        import copy
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from prcv2025reid_tpu.models.reid_model import compute_loss
+
+        torch, ref0, ours, variables, config = tpair
+
+        # --- torch side: freeze to the reference's trainable subset ---
+        ref = copy.deepcopy(ref0)
+        ref.train()
+        trainable = []
+        for name, prm in ref.named_parameters():
+            if not prm.requires_grad:
+                continue
+            if ".loras." in name or name.startswith(
+                ("feature_fusion.", "bn_neck.", "null_tokens.")
+            ):
+                trainable.append(prm)
+            else:
+                prm.requires_grad_(False)
+        assert trainable, "torch trainable set is empty"
+        t_opt = torch.optim.AdamW(
+            trainable, lr=self.LR, betas=(0.9, 0.999), eps=1e-8,
+            weight_decay=self.WD,
+        )
+
+        # --- our side: same subset via a masked optax AdamW ---
+        def _label(path, _x):
+            keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+            if "lora_A" in keys or "lora_B" in keys:
+                return "t"
+            return "t" if keys[0] in ("fusion", "bn_neck", "null_tokens") else "f"
+
+        params = variables["params"]
+        labels_tree = jax.tree_util.tree_map_with_path(_label, params)
+        tx = optax.multi_transform(
+            {
+                "t": optax.adamw(
+                    self.LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=self.WD
+                ),
+                "f": optax.set_to_zero(),
+            },
+            labels_tree,
+        )
+        opt_state = tx.init(params)
+        batch_stats = variables["batch_stats"]
+        rngs = {
+            n: jax.random.PRNGKey(100 + i)
+            for i, n in enumerate(("dropout", "droppath", "moddrop"))
+        }
+
+        def step_fn(params, batch_stats, imgs, image_mask, labels):
+            def loss_fn(p):
+                out, updates = ours.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    jnp.asarray(imgs),
+                    jnp.asarray(image_mask),
+                    jnp.zeros((imgs.shape[0], self.CTX), jnp.int32),
+                    jnp.zeros((imgs.shape[0],)),
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs=rngs,
+                )
+                losses = compute_loss(
+                    out, jnp.asarray(labels),
+                    ce_weight=1.0, sdm_weight=0.1, sdm_tau=0.2,
+                )
+                return losses["total_loss"], updates["batch_stats"]
+
+            (total, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            return total, new_stats, grads
+
+        # --- N identical steps ---
+        for step in range(self.N_STEPS):
+            imgs, image_mask, labels = self._batch(step)
+
+            ref.zero_grad(set_to_none=True)
+            ref_out = ref(
+                images={
+                    m: torch.tensor(imgs[:, i].transpose(0, 3, 1, 2))
+                    for i, m in enumerate(("vis", "nir", "sk", "cp"))
+                },
+                texts=None,
+                modality_masks={
+                    m: torch.tensor(image_mask[:, i])
+                    for i, m in enumerate(("vis", "nir", "sk", "cp"))
+                },
+            )
+            ref_losses = ref.compute_loss(
+                ref_out, torch.tensor(labels, dtype=torch.long)
+            )
+            ref_losses["total_loss"].backward()
+            t_opt.step()
+
+            total, batch_stats, grads = step_fn(
+                params, batch_stats, imgs, image_mask, labels
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            np.testing.assert_allclose(
+                float(total), float(ref_losses["total_loss"]),
+                rtol=2e-3, atol=2e-3, err_msg=f"total_loss at step {step}",
+            )
+        # --- BN running statistics after the trajectory.  Tolerances sized
+        # against the failure mode they guard: flax BatchNorm's BIASED
+        # running-var update would diverge by ~0.1*var/(n-1) per step
+        # (~0.075 absolute after 3 steps at n=4), vs the ~3e-4 fp32
+        # trajectory drift observed with matching semantics. ---
+        np.testing.assert_allclose(
+            np.asarray(batch_stats["bn_neck"]["bn"]["mean"], np.float64),
+            ref.bn_neck.bn.running_mean.detach().numpy(),
+            rtol=5e-3, atol=5e-4, err_msg="bn running_mean",
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch_stats["bn_neck"]["bn"]["var"], np.float64),
+            ref.bn_neck.bn.running_var.detach().numpy(),
+            rtol=5e-3, atol=5e-4, err_msg="bn running_var",
+        )
+
+        # --- eval-mode forward on a fresh batch: the features the protocol
+        # ranks with after training ---
+        imgs, image_mask, labels = self._batch(999)
+        ref.eval()
+        with torch.no_grad():
+            ref_out = ref(
+                images={
+                    m: torch.tensor(imgs[:, i].transpose(0, 3, 1, 2))
+                    for i, m in enumerate(("vis", "nir", "sk", "cp"))
+                },
+                texts=None,
+                modality_masks={
+                    m: torch.tensor(image_mask[:, i])
+                    for i, m in enumerate(("vis", "nir", "sk", "cp"))
+                },
+            )
+        got = ours.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(imgs),
+            jnp.asarray(image_mask),
+            jnp.zeros((imgs.shape[0], self.CTX), jnp.int32),
+            jnp.zeros((imgs.shape[0],)),
+            train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["features"]),
+            ref_out["features"].detach().numpy(),
+            rtol=5e-3, atol=5e-3, err_msg="eval features",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["bn_features"]),
+            ref_out["bn_features"].detach().numpy(),
+            rtol=5e-3, atol=5e-3, err_msg="eval bn_features",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["logits"]),
+            ref_out["logits"].detach().numpy(),
+            rtol=5e-3, atol=5e-3, err_msg="eval logits",
         )
