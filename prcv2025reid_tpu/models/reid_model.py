@@ -193,8 +193,7 @@ class _TorchBatchNorm(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1.0 - self.momentum) * unbiased
                 )
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale
+        return (x - mean) * (jax.lax.rsqrt(var + self.epsilon) * scale)
 
 
 class BNNeck(nn.Module):

@@ -94,6 +94,30 @@ class TestCachedTokenizer:
         assert isinstance(tok, CachedTokenizer)
 
 
+class TestBenchQuery:
+    def test_all_paths_produce_finite_rates(self, capsys):
+        """tools/bench_query.py measures every query path on tiny dims."""
+        import json as jsonlib
+        import sys
+
+        sys.path.insert(0, "tools")
+        try:
+            import bench_query
+        finally:
+            sys.path.remove("tools")
+        bench_query.main(
+            [f"--set={k}={v}" for k, v in TINY.items()
+             if k not in ("use_pallas_attention",)]
+            + ["--iters=1"]
+        )
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        summary = jsonlib.loads(lines[-1])
+        assert set(summary["paths"]) == {
+            "text", "single_nir", "quad", "weighted_quad"
+        }
+        assert all(v > 0 for v in summary["paths"].values())
+
+
 class TestConvertCLI:
     def test_npz_export(self, tmp_path):
         """convert_clip.main writes a flat npz from a random HF snapshot."""
