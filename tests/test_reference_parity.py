@@ -1129,6 +1129,15 @@ class TestTrainTrajectoryGoldenParity:
         # --- torch side: freeze to the reference's trainable subset ---
         ref = copy.deepcopy(ref0)
         ref.train()
+        # earlier tests forward the SHARED tpair model in train() mode, which
+        # mutates its BN running stats in place (torch updates them even
+        # under no_grad) while the jax batch_stats in the fixture stay at the
+        # synced snapshot — re-sync so this test is order-independent
+        with torch.no_grad():
+            ref.bn_neck.bn.running_mean.copy_(torch.tensor(
+                np.asarray(variables["batch_stats"]["bn_neck"]["bn"]["mean"])))
+            ref.bn_neck.bn.running_var.copy_(torch.tensor(
+                np.asarray(variables["batch_stats"]["bn_neck"]["bn"]["var"])))
         trainable = []
         for name, prm in ref.named_parameters():
             if not prm.requires_grad:

@@ -581,16 +581,32 @@ class TestToolchainWatchParsing:
             calls.append(1)
             return dict(good)
 
-        out = tw.confirm_probes(dict(noisy), rerun)
+        out, evidence = tw.confirm_probes(dict(noisy), rerun)
         assert calls, "deviation must trigger a confirm run"
         assert out["xla_int8"] == good["xla_int8"]  # excursion discarded
 
-        # real move: both runs deviate -> the deviating reading survives
+        # real move: both runs deviate -> the deviating reading survives,
+        # marked as genuinely reproduced
         moved = dict(good, pallas_bf16=150e12)
-        out = tw.confirm_probes(dict(moved), lambda: dict(moved))
+        out, evidence = tw.confirm_probes(dict(moved), lambda: dict(moved))
         assert out["pallas_bf16"] == 150e12
+        assert evidence["pallas_bf16"] == "reproduced on 2 runs"
+
+        # rerun produced NO reading for the deviating probe: the reading is
+        # kept but must NOT be labeled as reproduced
+        out, evidence = tw.confirm_probes(
+            dict(moved), lambda: dict(good, pallas_bf16=None)
+        )
+        assert out["pallas_bf16"] == 150e12
+        assert "SINGLE" in evidence["pallas_bf16"]
+
+        # missing on BOTH runs: stays None with honest evidence
+        gone = dict(good, pallas_bf16=None)
+        out, evidence = tw.confirm_probes(dict(gone), lambda: dict(gone))
+        assert out["pallas_bf16"] is None
+        assert "either run" in evidence["pallas_bf16"]
 
         # all probes at the record: no confirm run at all
         calls.clear()
-        out = tw.confirm_probes(dict(good), rerun)
-        assert not calls and out == good
+        out, evidence = tw.confirm_probes(dict(good), rerun)
+        assert not calls and out == good and evidence == {}

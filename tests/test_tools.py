@@ -97,14 +97,17 @@ class TestCachedTokenizer:
 class TestBenchQuery:
     def test_all_paths_produce_finite_rates(self, capsys):
         """tools/bench_query.py measures every query path on tiny dims."""
+        import importlib.util
         import json as jsonlib
-        import sys
+        import os
 
-        sys.path.insert(0, "tools")
-        try:
-            import bench_query
-        finally:
-            sys.path.remove("tools")
+        spec = importlib.util.spec_from_file_location(
+            "bench_query",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "bench_query.py"),
+        )
+        bench_query = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench_query)
         bench_query.main(
             [f"--set={k}={v}" for k, v in TINY.items()
              if k not in ("use_pallas_attention",)]

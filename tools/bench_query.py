@@ -124,19 +124,19 @@ def main(argv=None):
         if path == "weighted_quad":
             weights = tuple(WEIGHTED_W[m] for m in mods)
 
-            def embed(imgs, toks):
+            def embed(vs, imgs, toks):
                 return model.apply(
-                    variables, imgs, image_mask, toks, text_mask, mods,
+                    vs, imgs, image_mask, toks, text_mask, mods,
                     weights, method=model.encode_weighted)
         else:
 
-            def embed(imgs, toks):
+            def embed(vs, imgs, toks):
                 return model.apply(
-                    variables, imgs, image_mask, toks, text_mask, mods,
+                    vs, imgs, image_mask, toks, text_mask, mods,
                     method=model.encode_subset)
 
         @jax.jit
-        def bench_fn(variables_unused, images, tokens):
+        def bench_fn(vs, images, tokens):
             def body(i, acc):
                 # iteration-dependent inputs defeat loop-invariant hoisting:
                 # images get a tiny additive perturbation; tokens a roll
@@ -144,7 +144,7 @@ def main(argv=None):
                 # the vocab range)
                 imgs = images + (i.astype(jnp.float32) * 1e-6)
                 toks = jnp.roll(tokens, i, axis=1)
-                feats = embed(imgs, toks)
+                feats = embed(vs, imgs, toks)
                 return acc + feats.astype(jnp.float32).sum()
 
             return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
