@@ -149,6 +149,10 @@ class TrainingConfig:
     save_dir: str = "./checkpoints"
     log_dir: str = "./logs"
     save_freq: int = 20
+    # overlap checkpoint storage writes with the next epoch's compute; the
+    # device->host copy inside orbax save is synchronous either way, so the
+    # donated train state is never raced (training/checkpoint.py)
+    async_checkpoint: bool = True
     # (the reference's ``eval_freq`` field is dead even there — train.py:1532
     # clobbers it with eval_every_n_epoch — so it is not carried over)
     eval_sample_ratio: float = 0.3

@@ -23,6 +23,9 @@ from prcv2025reid_tpu.training.train_step import TrainState
 
 HOST_STATE_FILE = "host_state.json"
 
+# at most one async save in flight: (checkpointer, sidecar path, host_state)
+_PENDING: list = []
+
 
 def _default(o):
     if isinstance(o, (np.integer,)):
@@ -34,18 +37,39 @@ def _default(o):
     raise TypeError(f"not JSON serializable: {type(o)}")
 
 
+def finalize_pending_saves():
+    """Block until any in-flight async save is durable, then write its host
+    sidecar.  The sidecar is written ONLY after the state commit so
+    ``latest_checkpoint_exists`` / readers never observe a half-written
+    checkpoint directory."""
+    while _PENDING:
+        ckptr, sidecar_path, host_state = _PENDING.pop(0)
+        ckptr.wait_until_finished()
+        with open(sidecar_path, "w") as f:
+            json.dump(host_state, f, default=_default)
+
+
 def save_checkpoint(
     directory: str,
     state: TrainState,
     host_state: Dict[str, Any],
     *,
     name: str = "latest",
+    block: bool = True,
 ):
-    """Write <directory>/<name>/ with the device state + host sidecar."""
+    """Write <directory>/<name>/ with the device state + host sidecar.
+
+    ``block=False`` overlaps the storage write with subsequent compute:
+    orbax's StandardCheckpointer copies the arrays OUT OF device memory
+    synchronously inside ``save`` (safe even with ``donate_train_state``
+    aliasing the buffers on the very next step) and persists to disk in a
+    background thread; the host sidecar lands when the commit completes
+    (``finalize_pending_saves``, called automatically by the next save /
+    restore, and by Trainer.fit on exit)."""
+    finalize_pending_saves()  # order saves; at most one in flight
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "state"), state, force=True)
-    ckptr.wait_until_finished()
     host_state = dict(host_state)
     # record the writer's monitor-ring shapes so any reader (eval CLI with a
     # default template) can build an EXACT template and restore strictly —
@@ -55,6 +79,10 @@ def save_checkpoint(
         "metric_ring": list(np.shape(state.metric_ring)),
         "grad_norm_hist": list(np.shape(state.grad_norm_hist)),
     }
+    if not block:
+        _PENDING.append((ckptr, os.path.join(path, HOST_STATE_FILE), host_state))
+        return
+    ckptr.wait_until_finished()
     with open(os.path.join(path, HOST_STATE_FILE), "w") as f:
         json.dump(host_state, f, default=_default)
 
@@ -70,6 +98,7 @@ def restore_checkpoint(
     ``abstract_state`` is a template TrainState (e.g. a freshly created one)
     providing the tree structure/shapes/dtypes.
     """
+    finalize_pending_saves()  # never read past an in-flight write
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)

@@ -32,6 +32,7 @@ from prcv2025reid_tpu.parallel.mesh import (
     replicate_state,
 )
 from prcv2025reid_tpu.training.checkpoint import (
+    finalize_pending_saves,
     latest_checkpoint_exists,
     restore_checkpoint,
     save_checkpoint,
@@ -460,6 +461,16 @@ class Trainer:
         resumed = self.maybe_resume()
         if not resumed:
             self.smoke_test()
+        try:
+            return self._fit_loop()
+        finally:
+            # an async save may still be in flight (its sidecar lands only
+            # on commit) — make the last checkpoint durable even on error
+            finalize_pending_saves()
+
+    def _fit_loop(self) -> Dict:
+        cfg = self.config
+        block = not cfg.async_checkpoint
         train_metrics: Optional[Dict] = None
         for epoch in range(self.start_epoch, cfg.num_epochs + 1):
             train_metrics = self.train_epoch(epoch, train_metrics)
@@ -482,6 +493,7 @@ class Trainer:
                         self.state,
                         self._host_state(epoch),
                         name=os.path.basename(best_path),
+                        block=block,
                     )
                     logger.info(
                         "new best mAP %.4f — checkpoint saved to %s",
@@ -500,10 +512,13 @@ class Trainer:
                     if scale < 1.0:
                         logger.info("plateau LR scale: %.5f", scale)
 
-            save_checkpoint(cfg.save_dir, self.state, self._host_state(epoch))
+            save_checkpoint(
+                cfg.save_dir, self.state, self._host_state(epoch), block=block
+            )
             if epoch % cfg.save_freq == 0:
                 save_checkpoint(
-                    cfg.save_dir, self.state, self._host_state(epoch), name=f"epoch_{epoch}"
+                    cfg.save_dir, self.state, self._host_state(epoch),
+                    name=f"epoch_{epoch}", block=block,
                 )
             self.train_history.to_csv(os.path.join(cfg.log_dir, "train_history.csv"))
             self.eval_history.to_csv(os.path.join(cfg.log_dir, "eval_history.csv"))

@@ -412,3 +412,37 @@ class TestCheckpoint:
             restored.params,
             s1.params,
         )
+
+    def test_async_save_commits_sidecar_on_finalize(self, setup, tmp_path):
+        """block=False: the host sidecar (the 'checkpoint is complete'
+        marker) lands only at finalize, so readers never see a half-written
+        directory; the restored state is identical to a blocking save's."""
+        from prcv2025reid_tpu.training.checkpoint import finalize_pending_saves
+
+        config, model, tx, state, step_fn = setup
+        b = _batch()
+        s1, _ = step_fn(state, b, jnp.float32(0.1), jnp.float32(0.2))
+        host = {"epoch": 5, "best_map": 0.1}
+        save_checkpoint(str(tmp_path), s1, host, name="async", block=False)
+        assert not latest_checkpoint_exists(str(tmp_path), name="async")
+        finalize_pending_saves()
+        assert latest_checkpoint_exists(str(tmp_path), name="async")
+        restored, host2 = restore_checkpoint(str(tmp_path), state, name="async")
+        assert host2["epoch"] == 5
+        jax.tree.map(
+            lambda a, b2: np.testing.assert_array_equal(np.asarray(a), np.asarray(b2)),
+            restored.params, s1.params,
+        )
+
+        # a subsequent save finalizes the previous in-flight one implicitly
+        save_checkpoint(str(tmp_path), s1, host, name="a2", block=False)
+        save_checkpoint(str(tmp_path), s1, host, name="a3", block=False)
+        assert latest_checkpoint_exists(str(tmp_path), name="a2")
+        assert not latest_checkpoint_exists(str(tmp_path), name="a3")
+        finalize_pending_saves()
+        assert latest_checkpoint_exists(str(tmp_path), name="a3")
+
+        # restore also drains the pipeline: save async then restore directly
+        save_checkpoint(str(tmp_path), s1, host, name="a4", block=False)
+        restored, _ = restore_checkpoint(str(tmp_path), state, name="a4")
+        assert int(restored.step) == int(s1.step)
