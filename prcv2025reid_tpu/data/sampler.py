@@ -73,11 +73,22 @@ class PKBatchSampler:
             if pid not in set(self.strong_ids) and (d["vis"] or d["nonvis"])
         )
 
-        total_pairs = sum(
-            min(len(self.pid_buckets[p]["vis"]), len(self.pid_buckets[p]["nonvis"]))
-            for p in self.strong_ids
-        )
-        self.nominal_steps = max(1, total_pairs // max(1, self.P * self.K))
+        if self.force_modal_pairs:
+            total_pairs = sum(
+                min(len(self.pid_buckets[p]["vis"]),
+                    len(self.pid_buckets[p]["nonvis"]))
+                for p in self.strong_ids
+            )
+            self.nominal_steps = max(1, total_pairs // max(1, self.P * self.K))
+        else:
+            # plain P x K mode never consults the pair buckets: size the
+            # epoch by the usable record count, not the (possibly tiny)
+            # strong-pair supply
+            usable = len({
+                i for d in self.pid_buckets.values()
+                for i in d["vis"] + d["nonvis"]
+            })
+            self.nominal_steps = max(1, usable // max(1, self.P * self.K))
         self.steps_per_epoch = (
             steps_per_epoch if steps_per_epoch is not None else self.nominal_steps
         )
@@ -161,10 +172,20 @@ class PKBatchSampler:
         return self._batch_for_ids(self._choose_ids())
 
     def __len__(self) -> int:
+        """Upper bound on batches per epoch, CONSISTENT with __iter__ —
+        len(sampler) sizes the LR-schedule horizon and the per-step metric
+        ring (trainer.py), so an estimate that ignores the soft-pool fill or
+        the steps_per_epoch cap would mis-size both."""
         if not self.allow_id_reuse:
-            # reference semantics: each id serves at most once per epoch
-            # (datasets/dataset.py:1458-1464 removes used pids)
-            return max(1, len(self.strong_ids) // self.P)
+            # no-reuse: each id serves at most once per epoch
+            # (datasets/dataset.py:1458-1464 removes used pids); __iter__
+            # draws P ids per batch until the pools drain or steps_per_epoch
+            # is reached.  Soft ids participate except in hard pair mode
+            # (sampling_fallback=False never fills from the soft pool).
+            pool = len(self.strong_ids)
+            if not self.force_modal_pairs or self.sampling_fallback:
+                pool += len(self.soft_ids)
+            return min(self.steps_per_epoch, max(1, -(-pool // self.P)))
         return self.steps_per_epoch
 
     def __iter__(self) -> Iterator[List[int]]:

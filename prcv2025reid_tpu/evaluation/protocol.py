@@ -133,9 +133,19 @@ def _chunk_stats(
     g: jnp.ndarray,
     g_pids: jnp.ndarray,
     exclude: Optional[jnp.ndarray],
+    excl_idx: Optional[jnp.ndarray],
     topk_cmc: Tuple[int, ...],
 ):
-    """Per-query (ap, has_rel, top1_hit, cmc hits) for one query chunk."""
+    """Per-query (ap, has_rel, top1_hit, cmc hits) for one query chunk.
+
+    ``exclude``: dense [Nq, Ng] bool (arbitrary pairs).  ``excl_idx``: [Nq]
+    int32 gallery POSITION to drop per query (-1 = none) — the same-image
+    exclusion case, O(Nq) host-side instead of a dense Nq x Ng matrix; the
+    mask materializes per chunk on device."""
+    if excl_idx is not None:
+        exclude = (
+            jnp.arange(g.shape[0], dtype=jnp.int32)[None, :] == excl_idx[:, None]
+        )
     sim = jnp.dot(q, g.T, precision=jax.lax.Precision.HIGHEST)
     if exclude is not None:
         sim = jnp.where(exclude, -jnp.inf, sim)
@@ -157,12 +167,27 @@ def _chunk_stats(
     return ap, has_rel, matches[:, 0], cmc_hits
 
 
+def _chunk_rows(n_real: int, n_dev: int, cap: int) -> int:
+    """Next power-of-two bucket >= n_real (multiple of n_dev, <= cap-ish):
+    ragged trailing chunks otherwise mint a NOVEL jit shape per distinct
+    Nq %% query_chunk — and novel compiles go through a remote service on
+    this toolchain (30 s - 30 min each, CLAUDE.md).  Buckets bound the
+    executable count at log2(cap) across all plans/evals."""
+    rows = 1
+    while rows < n_real:
+        rows *= 2
+    rows = min(rows, cap)
+    rows = max(rows, n_real, n_dev)
+    return -(-rows // n_dev) * n_dev
+
+
 def compute_retrieval_metrics(
     q_feats: np.ndarray,
     q_pids: np.ndarray,
     g_feats: np.ndarray,
     g_pids: np.ndarray,
-    exclude: Optional[np.ndarray] = None,  # [Nq, Ng] bool, True = drop pair
+    exclude: Optional[np.ndarray] = None,  # [Nq, Ng] bool, True = drop pair;
+    # or [Nq] int32 gallery position per query (-1 = none)
     topk_cmc: Sequence[int] = (1, 5, 10),
     query_chunk: int = 1024,
     mesh=None,
@@ -202,6 +227,9 @@ def compute_retrieval_metrics(
         g = jax.device_put(g, g_sharding)
         g_p = jax.device_put(g_p, g_sharding)
 
+    exclude = None if exclude is None else np.asarray(exclude)
+    excl_is_idx = exclude is not None and exclude.ndim == 1
+
     ap_l, hr_l, t1_l = [], [], []
     cmc_l = {k: [] for k in topk_cmc}
     for start in range(0, Nq, query_chunk):
@@ -210,7 +238,7 @@ def compute_retrieval_metrics(
         qp = jnp.asarray(q_pids[sl])
         ex = jnp.asarray(exclude[sl]) if exclude is not None else None
         n_real = qc.shape[0]
-        pad = (-n_real) % n_dev
+        pad = _chunk_rows(n_real, n_dev, query_chunk) - n_real
         if pad:
             qc = jnp.concatenate([qc, jnp.repeat(qc[-1:], pad, axis=0)])
             qp = jnp.concatenate([qp, jnp.repeat(qp[-1:], pad, axis=0)])
@@ -221,7 +249,12 @@ def compute_retrieval_metrics(
             qp = jax.device_put(qp, q_sharding)
             if ex is not None:
                 ex = jax.device_put(ex, q_sharding)
-        ap, hr, t1, cmc_hits = _chunk_stats(qc, qp, g, g_p, ex, topk_cmc)
+        ap, hr, t1, cmc_hits = _chunk_stats(
+            qc, qp, g, g_p,
+            None if excl_is_idx else ex,
+            ex.astype(jnp.int32) if excl_is_idx else None,
+            topk_cmc,
+        )
         ap_l.append(np.asarray(ap)[:n_real])
         hr_l.append(np.asarray(hr)[:n_real])
         t1_l.append(np.asarray(t1)[:n_real])
@@ -414,7 +447,6 @@ def evaluate_protocol(
     generic ``embed_fn`` when absent.  ``sharding`` shards the EMBEDDING
     batches over the mesh; ``mesh`` additionally shards the RANKING
     (similarity matmul + per-query stats) — see compute_retrieval_metrics."""
-    rng = np.random.default_rng(seed)
     gallery_indices = [i for i, r in enumerate(dataset.records) if r.vis]
 
     def _fn(mods: Tuple[str, ...]) -> Callable:
@@ -440,9 +472,16 @@ def evaluate_protocol(
             if all(m in r.modalities() for m in mods)
         ]
         if sample_ratio < 1.0 and len(q_indices) > 4:
+            # per-plan derived stream: the subset for (checkpoint, plan,
+            # seed) must not depend on which OTHER plans ran before it
+            # (include_patterns filtering would otherwise shift every
+            # later plan's draws)
+            import zlib
+
+            plan_rng = np.random.default_rng([seed, zlib.crc32(name.encode())])
             n_keep = max(1, int(len(q_indices) * sample_ratio))
             q_indices = sorted(
-                rng.choice(q_indices, n_keep, replace=False).tolist()
+                plan_rng.choice(q_indices, n_keep, replace=False).tolist()
             )
         if not q_indices:
             continue
@@ -460,10 +499,14 @@ def evaluate_protocol(
         exclude = None
         if exclude_same_image:
             # a query must not retrieve the gallery entry built from the very
-            # same record/anchor image (tools/eval_mm_protocol.py:429-438)
-            q_idx = np.asarray(q_indices)[:, None]
-            g_idx = np.asarray(gallery_indices)[None, :]
-            exclude = q_idx == g_idx
+            # same record/anchor image (tools/eval_mm_protocol.py:429-438).
+            # At most ONE gallery position per query — passed as an index
+            # vector, not a dense [Nq, Ng] matrix (~2 GB of host bool at the
+            # competition's 45k x 45k scale)
+            g_pos = {rec_i: pos for pos, rec_i in enumerate(gallery_indices)}
+            exclude = np.asarray(
+                [g_pos.get(qi, -1) for qi in q_indices], np.int32
+            )
         detail[name] = compute_retrieval_metrics(
             q_feats, q_pids, g_feats, g_pids, exclude, mesh=mesh
         )
@@ -559,7 +602,15 @@ def export_submission_csv(
         k_eff = min(top_k, g_feats.shape[0])
         order_chunks = []
         for start in range(0, len(q_feats), 1024):
-            qc = jnp.asarray(q_feats[start : start + 1024])
+            qc_np = q_feats[start : start + 1024]
+            n_real = len(qc_np)
+            # pad ragged tails to a power-of-two bucket: one executable per
+            # bucket instead of one novel (remote, 30s-30min) compile per
+            # distinct Nq % 1024 — same rationale as compute_retrieval_metrics
+            pad = _chunk_rows(n_real, 1, 1024) - n_real
+            if pad:
+                qc_np = np.concatenate([qc_np, np.repeat(qc_np[-1:], pad, axis=0)])
+            qc = jnp.asarray(qc_np)
             if mesh is not None and mesh.devices.size > 1:
                 from prcv2025reid_tpu.parallel.ranking import sharded_topk
 
@@ -571,7 +622,7 @@ def export_submission_csv(
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 _, idx = jax.lax.top_k(sims_c, k_eff)
-            order_chunks.append(np.asarray(idx))
+            order_chunks.append(np.asarray(idx)[:n_real])
         order = np.concatenate(order_chunks)
         for qi, record_idx in enumerate(q_indices):
             rec = dataset.records[record_idx]

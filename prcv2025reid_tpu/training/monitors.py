@@ -77,9 +77,15 @@ class PairCoverageMonitor:
         self.target = target
 
     def update(self, pids: np.ndarray, image_mask: np.ndarray, text_mask: np.ndarray) -> float:
-        """pids [B]; image_mask [B, Mv] (slot 0 = vis); text_mask [B]."""
-        has_vis = image_mask[:, 0] > 0
-        has_nonvis = (image_mask[:, 1:].sum(axis=1) > 0) | (text_mask > 0)
+        """pids [B]; image_mask [B, Mv] (slot 0 = vis); text_mask [B].
+
+        Rows with no valid modality at all are excluded — they are multi-host
+        padding (pad_batch_to fills zero masks) whose phantom identity would
+        deflate the ratio; mirrors train_step.batch_pair_coverage exactly."""
+        valid = (image_mask.sum(axis=1) + text_mask) > 0
+        pids = pids[valid]
+        has_vis = image_mask[valid, 0] > 0
+        has_nonvis = (image_mask[valid, 1:].sum(axis=1) > 0) | (text_mask[valid] > 0)
         cov_ids = 0
         ids = np.unique(pids)
         for pid in ids:

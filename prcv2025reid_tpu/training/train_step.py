@@ -89,10 +89,16 @@ def batch_pair_coverage(
     own 'rgb' string compare never matches, SURVEY.md §2.7).
 
     Distinct-id statistics without unique(): weight each sample by
-    1/count(pid) so every identity contributes exactly once.
+    1/count(pid) so every identity contributes exactly once.  Rows with NO
+    valid modality at all are excluded from both sides of the ratio — they
+    are multi-host padding (parallel/mesh.pad_batch_to fills pid=0/label=-1
+    with zero masks) whose phantom identity would otherwise deflate coverage
+    on every padded step.
     """
+    valid = ((image_mask.sum(axis=1) + text_mask) > 0).astype(jnp.float32)  # [B]
     eq = (pids[:, None] == pids[None, :]).astype(jnp.float32)  # [B, B]
-    cnt = eq.sum(axis=1)  # samples sharing my pid (>= 1)
+    eq = eq * valid[None, :] * valid[:, None]
+    cnt = eq.sum(axis=1)  # valid samples sharing my pid (0 for invalid rows)
     has_vis = (image_mask[:, 0] > 0).astype(jnp.float32)
     has_nonvis = (
         (image_mask[:, 1:].sum(axis=1) > 0) | (text_mask > 0)
@@ -100,7 +106,7 @@ def batch_pair_coverage(
     id_has_vis = (eq @ has_vis) > 0
     id_has_nonvis = (eq @ has_nonvis) > 0
     covered = (id_has_vis & id_has_nonvis).astype(jnp.float32)
-    inv = 1.0 / cnt
+    inv = valid / jnp.maximum(cnt, 1.0)
     return (covered * inv).sum() / jnp.maximum(inv.sum(), 1e-9)
 
 

@@ -112,6 +112,30 @@ class TestSampler:
         batch = sampler.sample_batch()
         assert len(batch) == 6
 
+    def test_no_reuse_len_matches_iter(self, tiny_data_config):
+        """len(sampler) sizes the LR horizon + metric ring (trainer.py) — it
+        must agree with what __iter__ actually yields, including the
+        steps_per_epoch cap and the soft-pool fill."""
+        ds = MultiModalDataset(tiny_data_config, "train")
+        # cap below the pool-drain count: len must respect the cap
+        s = PKBatchSampler(ds, 2, 2, allow_id_reuse=False, seed=0,
+                           steps_per_epoch=2)
+        assert len(s) == 2
+        assert len(list(s)) <= 2
+        # no cap: len is the pool-drain bound and iter never exceeds it
+        s = PKBatchSampler(ds, 2, 2, allow_id_reuse=False, seed=0,
+                           steps_per_epoch=50)
+        assert len(list(s)) <= len(s)
+
+    def test_plain_mode_epoch_sized_by_records(self, tiny_data_config):
+        """force_modal_pairs=False never consults the pair buckets, so the
+        nominal epoch must cover the usable records, not the strong-pair
+        supply."""
+        ds = MultiModalDataset(tiny_data_config, "train")
+        plain = PKBatchSampler(ds, 2, 2, seed=0, force_modal_pairs=False)
+        usable = len(ds.records)  # every tiny-fixture record is usable
+        assert plain.nominal_steps == max(1, usable // 4)
+
 
 class TestCollate:
     def test_real_mask_recomputation(self, tiny_data_config):

@@ -87,6 +87,27 @@ class TestMetrics:
         m = compute_retrieval_metrics(q, q_pids, g, g_pids, exclude=exclude)
         assert m["top1"] == 0.0  # self-match dropped, pid-1 item ranks first
         assert m["mAP"] == pytest.approx(0.5)  # remaining positive at rank 2
+        # the O(Nq) index form (gallery position per query, -1 = none) must
+        # agree with the dense matrix exactly
+        m_idx = compute_retrieval_metrics(
+            q, q_pids, g, g_pids, exclude=np.asarray([0], np.int32)
+        )
+        assert m_idx == m
+
+    def test_index_exclusion_matches_dense(self, rng):
+        """Random single-position exclusions: index form == dense form."""
+        q = rng.normal(size=(9, 8)).astype(np.float32)
+        g = rng.normal(size=(13, 8)).astype(np.float32)
+        q_pids = rng.integers(0, 4, 9)
+        g_pids = rng.integers(0, 4, 13)
+        idx = rng.integers(-1, 13, 9).astype(np.int32)  # -1 = no exclusion
+        dense = np.zeros((9, 13), bool)
+        for r, c in enumerate(idx):
+            if c >= 0:
+                dense[r, c] = True
+        a = compute_retrieval_metrics(q, q_pids, g, g_pids, exclude=dense)
+        b = compute_retrieval_metrics(q, q_pids, g, g_pids, exclude=idx)
+        assert a == b
 
 
 class TestPlans:

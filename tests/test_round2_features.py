@@ -190,6 +190,20 @@ class TestPairCoverageInGraph:
         txt = jnp.zeros(4)
         assert float(batch_pair_coverage(pids, img, txt)) == 1.0
 
+    def test_padding_rows_do_not_deflate(self):
+        """Multi-host padding rows (pad_batch_to: pid 0, all-zero masks) must
+        not register as a phantom uncovered identity on either the in-graph
+        or the host coverage."""
+        pids = np.asarray([1, 1, 2, 2, 0, 0], np.int32)  # last 2 = padding
+        img = np.asarray(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0],
+             [0, 0, 0, 0], [0, 0, 0, 0]], np.float32)
+        txt = np.zeros(6, np.float32)
+        got = float(batch_pair_coverage(
+            jnp.asarray(pids), jnp.asarray(img), jnp.asarray(txt)))
+        assert got == pytest.approx(1.0)
+        assert PairCoverageMonitor().update(pids, img, txt) == pytest.approx(1.0)
+
 
 class TestFeatureNormMonitor:
     def test_l2_branch_warns(self):
