@@ -279,6 +279,14 @@ class TrainingConfig:
             raise ValueError(
                 f"attn_backend={self.attn_backend!r}; valid: {sorted(valid_attn)}"
             )
+        if self.use_pallas_attention and self.attn_backend != "xla":
+            # both flags select the attention core; silently preferring one
+            # would benchmark/serve the wrong path (UnifiedEncoder.from_config
+            # maps use_pallas_attention -> attn_impl='auto')
+            raise ValueError(
+                "use_pallas_attention=True conflicts with "
+                f"attn_backend={self.attn_backend!r} — pick one attention core"
+            )
         if self.gelu_impl not in ("erf", "tanh", "poly"):
             raise ValueError(
                 f"gelu_impl={self.gelu_impl!r}; valid: ['erf', 'poly', 'tanh']"

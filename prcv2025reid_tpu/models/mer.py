@@ -62,6 +62,18 @@ class _SharedParams(nn.Module):
         return kernel, bias
 
 
+def lora_a_init(key, shape, dtype=jnp.float32):
+    """Per-expert kaiming_uniform(a=sqrt(5)) exactly as the reference
+    (mer_lora.py:12-49: torch's default nn.init on the [rank, in] weight,
+    bound 1/sqrt(in_dim)).  A stock variance_scaling on the STACKED
+    (M, in, r) tensor would count the expert axis as receptive field and
+    shrink every adapter's init by sqrt(M) — silently halving early LoRA
+    gradient magnitudes vs the reference at M=4."""
+    in_dim = shape[-2]
+    bound = float(in_dim) ** -0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 class _MERProjParams(nn.Module):
     """One MER projection's parameters (shared/kernel, shared/bias, lora_A,
     lora_B) declared without computing — callers build effective weights."""
@@ -78,7 +90,7 @@ class _MERProjParams(nn.Module):
         )(in_dim)
         lora_a = self.param(
             "lora_A",
-            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            lora_a_init,
             (self.num_experts, in_dim, self.rank),
             self.param_dtype,
         )
@@ -149,7 +161,7 @@ class MERDense(nn.Module):
         )(in_dim)
         lora_a = self.param(
             "lora_A",
-            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            lora_a_init,
             (self.num_experts, in_dim, self.rank),
             self.param_dtype,
         )
@@ -380,12 +392,13 @@ class MERMlp(nn.Module):
         weights_only: bool = False,
     ) -> jnp.ndarray:
         D = x.shape[-1]
-        if weights_only:
-            # folded weights for the fused block kernels (ops/fused_block.py);
-            # declares fc1/fc2 under the same tree paths as the MERDense branch
-            dt = self.dtype or x.dtype
+
+        def folded_weights(dt, ids):
+            """Declare fc1/fc2 (same tree paths as the MERDense branch) and
+            fold the LoRA into per-group effective kernels — shared by the
+            weights_only (fused block kernels) and pallas (fused MLP) paths
+            so the folding logic cannot drift between them."""
             scale = self.alpha / self.rank
-            ids = tuple(expert_ids)
             k1, b1, a1, lb1 = _MERProjParams(
                 self.mlp_dim, self.num_experts, self.rank, self.param_dtype,
                 name="fc1",
@@ -394,12 +407,15 @@ class MERMlp(nn.Module):
                 D, self.num_experts, self.rank, self.param_dtype, name="fc2"
             )(self.mlp_dim)
             if self.enable:
-                w1 = effective_weights(k1, a1, lb1, ids, scale, dt)
-                w2 = effective_weights(k2, a2, lb2, ids, scale, dt)
+                w1 = effective_weights(k1, a1, lb1, ids, scale, dt)  # [G, D, F]
+                w2 = effective_weights(k2, a2, lb2, ids, scale, dt)  # [G, F, D]
             else:
                 w1 = jnp.broadcast_to(k1.astype(dt)[None], (len(ids),) + k1.shape)
                 w2 = jnp.broadcast_to(k2.astype(dt)[None], (len(ids),) + k2.shape)
             return w1, b1.astype(dt), w2, b2.astype(dt)
+
+        if weights_only:
+            return folded_weights(self.dtype or x.dtype, tuple(expert_ids))
         impl = self.impl
         if impl == "auto":
             from prcv2025reid_tpu.ops.attention import _pallas_available
@@ -410,16 +426,7 @@ class MERMlp(nn.Module):
 
         if impl in ("pallas", "pallas_interpret"):
             dt = self.dtype or x.dtype
-            scale = self.alpha / self.rank
-            ids = tuple(expert_ids)
-            k1, b1, a1, lb1 = _MERProjParams(
-                self.mlp_dim, self.num_experts, self.rank, self.param_dtype, name="fc1"
-            )(D)
-            k2, b2, a2, lb2 = _MERProjParams(
-                D, self.num_experts, self.rank, self.param_dtype, name="fc2"
-            )(self.mlp_dim)
-            w1 = effective_weights(k1, a1, lb1, ids, scale, dt)  # [G, D, F]
-            w2 = effective_weights(k2, a2, lb2, ids, scale, dt)  # [G, F, D]
+            w1, b1, w2, b2 = folded_weights(dt, tuple(expert_ids))
             G, B, S, _ = x.shape
             from prcv2025reid_tpu.ops.fused_mlp import fused_mlp
 

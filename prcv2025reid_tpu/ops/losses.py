@@ -166,5 +166,10 @@ def multimodal_sdm_loss(
         gates.append(has_pairs)
     losses = jnp.stack(losses)
     gates = jnp.stack(gates)
+    # NOTE: a modality whose loss was force-zeroed by sdm_loss's finite/
+    # negative guard keeps gate=1 and dilutes the mean — reference-exact:
+    # sdm_loss_stable returns a FINITE 0.0 on anomalies (sdm_loss.py:144-147),
+    # so the reference's `if torch.isfinite(L)` filter (model.py:616-617)
+    # never fires and the zero is averaged in there too.
     total = (losses * gates).sum() / jnp.maximum(gates.sum(), 1.0)
     return jnp.where(jnp.isfinite(total), total, 0.0)

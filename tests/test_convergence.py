@@ -39,7 +39,11 @@ TINY = dict(
     warmup_epochs=1,
     num_ids_per_batch=3,
     instances_per_id=2,
-    steps_per_epoch=8,
+    # 16 (not 8): the reference-exact lora_A init (bound 1/sqrt(in), 2x the
+    # old stacked-variance_scaling value at these tiny dims) shifts the toy
+    # trajectory; 8-step epochs left mAP at ~0.46 vs 0.84+ here — margins
+    # probed in round 3
+    steps_per_epoch=16,
     num_workers=0,
     eval_sample_ratio=1.0,
     eval_batch_size=6,

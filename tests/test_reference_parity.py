@@ -297,6 +297,31 @@ class TestSDMModuleGoldenParity:
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+class TestLoRAInitSemantics:
+    def test_lora_a_init_matches_reference_bound(self, ref_modules):
+        """The stacked (M, in, r) lora_A init must use the PER-EXPERT fan-in
+        (torch kaiming_uniform(a=sqrt(5)) on the [rank, in] weight: bound
+        1/sqrt(in)) — a stock variance_scaling on the stacked tensor counts
+        the expert axis as receptive field and shrinks init by sqrt(M)."""
+        torch, _, _ = ref_modules
+        import jax
+
+        from prcv2025reid_tpu.models.mer import lora_a_init
+
+        in_dim, M, r = 768, 4, 4
+        a = np.asarray(lora_a_init(jax.random.PRNGKey(0), (M, in_dim, r)))
+        bound = in_dim ** -0.5
+        assert np.abs(a).max() <= bound + 1e-7
+        assert np.abs(a).max() > 0.9 * bound  # actually fills the range
+
+        torch.manual_seed(0)
+        w = torch.nn.init.kaiming_uniform_(
+            torch.empty(r, in_dim), a=5 ** 0.5
+        )
+        torch_bound = float(w.abs().max())
+        assert abs(torch_bound - bound) / bound < 0.05
+
+
 class TestMERLinearGoldenParity:
     def test_matches_reference_routing_and_scaling(self, ref_modules, rng):
         """Reference MERLinear (shared + per-modality LoRA, scaling=alpha/rank)
