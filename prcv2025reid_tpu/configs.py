@@ -176,7 +176,11 @@ class TrainingConfig:
     # ----- TPU-specific (no reference counterpart) -----
     compute_dtype: str = "bfloat16"  # trunk compute; losses/stats stay fp32
     param_dtype: str = "float32"
-    mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
+    # data-parallel axis sizes; empty = auto (all visible devices).  Any
+    # non-empty value is honored, so --mesh_shape=1 really pins ONE device
+    # (with the old (1,) default an explicit 1 was indistinguishable from
+    # "unset" and silently used every device)
+    mesh_shape: Tuple[int, ...] = ()
     mesh_axis_names: Tuple[str, ...] = ("data",)
     # Pallas fused attention: measured SLOWER than the transpose-free XLA
     # einsum path on v5e at S=197 (docs/performance.md); kernels kept for
@@ -267,6 +271,26 @@ class TrainingConfig:
     def __post_init__(self):
         # loud rejection of typoed compute-path selectors: these are raw
         # string CLI flags, and a silent fallback would serve the wrong path
+        from prcv2025reid_tpu.utils.modalities import MODALITIES
+
+        unknown_mods = [m for m in self.modalities if m not in MODALITIES]
+        if unknown_mods:
+            raise ValueError(
+                f"unknown modalities {unknown_mods}; valid: {list(MODALITIES)}"
+            )
+        if len(set(self.modalities)) != len(self.modalities):
+            raise ValueError(f"duplicate modalities: {self.modalities}")
+        if not self.modalities or self.modalities[0] != "vis":
+            # slot 0 is a structural anchor: the SDM loss anchors on vis_slot=0
+            # and modality dropout never drops slot 0 (models/reid_model.py)
+            raise ValueError(
+                f"modalities must start with 'vis', got {self.modalities}"
+            )
+        if "text" in self.modalities and self.modalities[-1] != "text":
+            # the model reserves the FINAL fusion slot for the text tower
+            raise ValueError(
+                f"'text' must be the last modality, got {self.modalities}"
+            )
         valid_block = {"xla", "fused", "fused_int8", "fused_qkv",
                        "fused_interpret", "fused_int8_interpret",
                        "fused_qkv_interpret"}

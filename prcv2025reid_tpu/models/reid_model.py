@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from prcv2025reid_tpu.configs import TrainingConfig
 from prcv2025reid_tpu.models.encoder import UnifiedEncoder
-from prcv2025reid_tpu.utils.modalities import MODALITIES
 
 
 class SemanticDisentanglementModule(nn.Module):
@@ -275,11 +274,15 @@ class MultiModalReIDModel(nn.Module):
             dtype=dt,
             name="bn_neck",
         )
-        # learnable per-modality null tokens, sigma=0.02 (models/model.py:300-303)
+        # learnable per-modality null tokens, sigma=0.02 (models/model.py:300-303).
+        # Sized to the CONFIGURED fusion slots (vision modalities + text), not
+        # the global MODALITIES constant — a non-default --modalities value
+        # changes M and the row indexing must follow (row i = vision slot i,
+        # last row = text); identical to len(MODALITIES) at the defaults.
         self.null_tokens = self.param(
             "null_tokens",
             nn.initializers.normal(0.02),
-            (len(MODALITIES), cfg.fusion_dim),
+            (len(cfg.vision_modalities) + 1, cfg.fusion_dim),
             jnp.float32,
         )
 

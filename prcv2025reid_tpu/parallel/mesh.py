@@ -35,12 +35,10 @@ def create_mesh(
     the largest device count that divides the batch (a P*K batch is not
     always a multiple of the chip count)."""
     devs = list(devices) if devices is not None else jax.devices()
-    if n_devices is None and config is not None:
+    if n_devices is None and config is not None and config.mesh_shape:
         import math
 
-        requested = math.prod(config.mesh_shape)
-        if requested > 1 or len(config.mesh_shape) > 1:
-            n_devices = requested
+        n_devices = math.prod(config.mesh_shape)
     if n_devices is not None:
         devs = devs[:n_devices]
     if batch_size is not None:
@@ -126,7 +124,11 @@ def pad_batch_to(batch: Dict, size: int) -> Dict:
 
     def _pad(name, x):
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        fill = -1 if name == "labels" else 0
+        # labels AND pids pad with -1: -1 labels are loss-masked, and every
+        # pid consumer (batch_composition's `pids >= 0` filter, the coverage
+        # monitors' zero-mask exclusion) treats negatives as padding — a 0
+        # fill would conflate padding with a real identity 0
+        fill = -1 if name in ("labels", "pids") else 0
         return onp.pad(onp.asarray(x), widths, constant_values=fill)
 
     return {k: _pad(k, v) for k, v in batch.items()}

@@ -24,12 +24,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from prcv2025reid_tpu.parallel.mesh import DATA_AXIS
 
 
-def _local_topk(sim: jnp.ndarray, base_index: jnp.ndarray, k: int):
-    """Per-shard top-k with global index bookkeeping. sim: [Q, G_local]."""
-    scores, idx = jax.lax.top_k(sim, k)
-    return scores, idx + base_index
-
-
 def sharded_topk(
     q_feats: jnp.ndarray,  # [Q, D]
     g_feats: jnp.ndarray,  # [G, D]

@@ -268,3 +268,28 @@ class MetricsHistory:
             f.write(",".join(keys) + "\n")
             for r in self.rows:
                 f.write(",".join(str(r.get(k, "")) for k in keys) + "\n")
+
+    def load_csv(self, path: str):
+        """Reload rows previously written by to_csv — a resumed run must
+        append to the prior epochs' history, not erase it (to_csv rewrites
+        the whole file)."""
+        import csv
+        import os
+
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            for raw in csv.DictReader(f):
+                row = {}
+                for k, v in raw.items():
+                    if v == "" or v is None:
+                        continue
+                    try:
+                        row[k] = int(v)
+                    except ValueError:
+                        try:
+                            row[k] = float(v)
+                        except ValueError:
+                            row[k] = v
+                if row:
+                    self.rows.append(row)

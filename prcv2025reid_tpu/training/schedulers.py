@@ -53,8 +53,14 @@ class SDMWeightScheduler:
         if epoch <= self.warmup_epochs:
             weight = 0.0
         else:
-            idx = min(epoch - self.warmup_epochs - 1, len(self.schedule) - 1)
-            weight = self.schedule[idx] if 0 <= idx < len(self.schedule) else self.final_weight
+            # past the stepwise schedule the FINAL weight applies — the
+            # reference's own `else: final_weight` arm is dead (its idx is
+            # min-clamped, sdm_scheduler.py:56-60) making sdm_weight_final a
+            # dead knob there; this implements the documented intent
+            # ("0.1 -> 0.3 -> 0.5 -> final", identical behavior at the
+            # defaults where final == schedule[-1])
+            idx = epoch - self.warmup_epochs - 1
+            weight = self.schedule[idx] if idx < len(self.schedule) else self.final_weight
             if self.boosted:
                 weight = self.max_weight
             elif self.suppressed:

@@ -211,6 +211,15 @@ class Trainer:
         )
         self.start_epoch = 1
         self.best_map = 0.0
+        self._crop_relaxed = False
+
+    def _relax_augmentation(self):
+        """Crop scale 0.8 -> 0.6 (train.py:1630-1644); worker processes hold
+        a pickled dataset copy, so they must be refreshed to see the change."""
+        self._crop_relaxed = True
+        self.train_ds.transform.set_crop_scale_min(0.6)
+        self.pipeline.refresh_workers()
+        logger.info("augmentation relaxed: crop scale 0.8 -> 0.6")
 
     # ----- embed fns, one per modality combo -----
 
@@ -233,6 +242,16 @@ class Trainer:
         self.sampler.load_state_dict(host["sampler"])
         if self.plateau is not None and host.get("plateau"):
             self.plateau.load_state_dict(host["plateau"])
+        if host.get("crop_relaxed"):
+            self._relax_augmentation()  # re-apply the relaxed distribution
+        # reload histories: to_csv rewrites whole files, so without this a
+        # resumed run's first epoch-end write would erase every prior row
+        self.train_history.load_csv(
+            os.path.join(self.config.log_dir, "train_history.csv")
+        )
+        self.eval_history.load_csv(
+            os.path.join(self.config.log_dir, "eval_history.csv")
+        )
         logger.info("resumed from epoch %d (best mAP %.4f)", host["epoch"], self.best_map)
         return True
 
@@ -244,6 +263,7 @@ class Trainer:
             "spike_detector": self.spike_detector.state_dict(),
             "sampler": self.sampler.state_dict(),
             "plateau": self.plateau.state_dict() if self.plateau is not None else None,
+            "crop_relaxed": self._crop_relaxed,
             "num_classes": self.num_classes,
             "config": self.config.to_json(),
         }
@@ -258,13 +278,6 @@ class Trainer:
             epoch, train_metrics_prev or {}
         )
         enable_moddrop = epoch > cfg.modality_dropout_warmup_epochs
-
-        # augmentation relaxation (train.py:1630-1644); worker processes hold
-        # a pickled dataset copy, so they must be refreshed to see the change
-        if epoch == 5 and self.spike_detector.stability_score > 0.8:
-            self.train_ds.transform.set_crop_scale_min(0.6)
-            self.pipeline.refresh_workers()
-            logger.info("augmentation relaxed: crop scale 0.8 -> 0.6")
 
         sums: Dict[str, float] = {}
         n_steps = 0
@@ -437,8 +450,25 @@ class Trainer:
 
     def smoke_test(self):
         """One real batch through the model before the epoch loop; abort on
-        failure (reference: train.py:1460-1474)."""
-        batch = next(iter(self.pipeline))
+        failure (reference: train.py:1460-1474).
+
+        The batch is built directly (sampler draw + collate) rather than via
+        ``next(iter(self.pipeline))``: iterating the pipeline would burn a
+        full epoch of the checkpointable sampler RNG in list(sampler) and
+        leave num_workers+prefetch decoded batches as abandoned in-flight
+        work; the sampler state is snapshot-restored so epoch 1 sees the
+        exact stream it would have without the smoke test."""
+        from prcv2025reid_tpu.data.pipeline import collate
+
+        snap = self.sampler.state_dict()
+        indices = self.sampler.sample_batch()
+        self.sampler.load_state_dict(snap)
+        rng = np.random.default_rng(0)
+        samples = [
+            self.train_ds.get_sample(i, rng, modality_dropout=0.0)
+            for i in indices
+        ]
+        batch = collate(samples, self.tokenizer)
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         out = self.model.apply(
             variables,
@@ -477,6 +507,15 @@ class Trainer:
             self.batch_counts.record_epoch(train_metrics["steps"])
             self.train_history.append(train_metrics)
             logger.info("epoch %d: %s", epoch, train_metrics)
+
+            # augmentation relaxation AFTER epoch 5, on epoch 5's OWN
+            # stability score (reference train.py:1630-1644 runs in the outer
+            # loop, so epoch 5 itself still trains at the tight crop); the
+            # flag persists through checkpoints so a resumed run keeps the
+            # relaxed distribution
+            if (epoch == 5 and not self._crop_relaxed
+                    and train_metrics.get("stability_score", 0.0) > 0.8):
+                self._relax_augmentation()
 
             if cfg.do_eval and epoch % cfg.eval_every_n_epoch == 0:
                 eval_metrics = self.evaluate(epoch)

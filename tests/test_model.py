@@ -186,3 +186,42 @@ class TestFullForward:
         np.testing.assert_allclose(
             float(losses["total_loss"]), float(losses["ce_loss"]), rtol=1e-6
         )
+
+
+class TestModalitiesConfig:
+    def test_invalid_modalities_rejected(self):
+        with pytest.raises(ValueError, match="start with 'vis'"):
+            TrainingConfig(**{**TINY, "modalities": ("nir", "vis", "text")})
+        with pytest.raises(ValueError, match="last modality"):
+            TrainingConfig(**{**TINY, "modalities": ("vis", "text", "nir")})
+        with pytest.raises(ValueError, match="unknown modalities"):
+            TrainingConfig(**{**TINY, "modalities": ("vis", "rgb2", "text")})
+        with pytest.raises(ValueError, match="duplicate"):
+            TrainingConfig(**{**TINY, "modalities": ("vis", "nir", "nir", "text")})
+
+    def test_subset_modalities_model_runs(self):
+        """A non-default --modalities value must initialize and forward:
+        null_tokens and the fusion slots are sized by the configured set."""
+        cfg = TrainingConfig(**{**TINY, "modalities": ("vis", "nir", "text")})
+        model = MultiModalReIDModel(config=cfg, num_classes=3, dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        B, Mv = 2, len(cfg.vision_modalities)
+        assert Mv == 2
+        imgs = jax.random.normal(rng, (B, Mv, 32, 32, 3))
+        toks = jnp.ones((B, 16), jnp.int32).at[:, 3].set(99)
+        variables = model.init(
+            {"params": rng}, imgs, jnp.ones((B, Mv)), toks, jnp.ones(B),
+            train=False,
+        )
+        assert variables["params"]["null_tokens"].shape == (Mv + 1, cfg.fusion_dim)
+        out = model.apply(
+            variables, imgs, jnp.ones((B, Mv)), toks, jnp.ones(B), train=False
+        )
+        assert out["features"].shape == (B, cfg.fusion_dim)
+        assert np.isfinite(np.asarray(out["logits"])).all()
+        # subset embedding works with the reduced slot set too
+        feats = model.apply(
+            variables, imgs, jnp.ones((B, Mv)), toks, jnp.ones(B),
+            ("nir", "text"), method=model.encode_subset,
+        )
+        assert np.isfinite(np.asarray(feats)).all()

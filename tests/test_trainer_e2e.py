@@ -73,6 +73,29 @@ def test_fit_and_resume(trainer_config):
     assert trainer2.start_epoch == 3
     assert int(trainer2.state.step) == step_after
     assert trainer2.best_map == trainer.best_map
+    # histories reloaded: a resumed run must append to the prior epochs, not
+    # erase them on its first epoch-end rewrite
+    assert [r["epoch"] for r in trainer2.train_history.rows] == [1, 2]
+    assert len(trainer2.eval_history.rows) >= 1
+
+
+def test_smoke_test_preserves_sampler_stream(trainer_config):
+    """smoke_test must not advance the checkpointable sampler RNG — epoch 1
+    sees the exact batch stream it would without the smoke test."""
+    trainer = Trainer(trainer_config)
+    before = trainer.sampler.state_dict()
+    trainer.smoke_test()
+    assert trainer.sampler.state_dict() == before
+
+
+def test_crop_relaxation_state_roundtrips(trainer_config):
+    """The epoch-5 augmentation relaxation persists through host_state so a
+    resumed run keeps the relaxed distribution."""
+    trainer = Trainer(trainer_config)
+    assert trainer._host_state(1)["crop_relaxed"] is False
+    trainer._relax_augmentation()
+    assert trainer.train_ds.transform.crop_scale_min == pytest.approx(0.6)
+    assert trainer._host_state(5)["crop_relaxed"] is True
 
 
 def test_train_loss_metrics_sane(trainer_config):
