@@ -187,6 +187,7 @@ def main():
             results[impl], probes[impl], embedders[impl] = measure(impl)
         except Exception as e:
             print(f"{impl} path failed: {type(e).__name__}: {e}", file=sys.stderr)
+    measured = dict(results)  # pre-gate numbers, for the stderr report
 
     if "xla" not in probes:
         # no reference embeddings — nothing non-default can be validated, so
@@ -212,7 +213,19 @@ def main():
 
         # ranking-equivalence gate for every surviving non-default path
         survivors = [i for i in results if i != "xla"]
-        if survivors and run_rank_gate:
+        if survivors and not run_rank_gate:
+            # measurement-only mode: with the ranking gate off, nothing
+            # non-default may become the headline (CLAUDE.md promotion
+            # invariant requires BOTH gates) — numbers still print above
+            for impl in survivors:
+                print(
+                    f"{impl} measured but not promotable: ranking gate "
+                    "disabled (PRCV_BENCH_RANKGATE=0)",
+                    file=sys.stderr,
+                )
+                del results[impl]
+            survivors = []
+        if survivors:
             from prcv2025reid_tpu.evaluation.protocol import ranking_equivalence
 
             eb, var, S = embedders["xla"]
@@ -245,7 +258,7 @@ def main():
         print("every measurement path failed — see stderr above", file=sys.stderr)
         sys.exit(1)
     impl, value = max(candidates.items(), key=lambda kv: kv[1])
-    print(f"throughputs: {results} -> using {impl}", file=sys.stderr)
+    print(f"throughputs (pre-gate): {measured} -> using {impl}", file=sys.stderr)
     print(
         json.dumps(
             {

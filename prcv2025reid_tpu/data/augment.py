@@ -165,15 +165,20 @@ class ImageTransform:
         if self.flip and rng.random() < 0.5:
             x = x[:, ::-1]
         if self.color_jitter > 0:
-            x = x.astype(np.int16)
+            # torchvision adjust_contrast blends toward the mean of the LUMA
+            # grayscale (0.299R+0.587G+0.114B), not the flat channel mean
+            def _gray_point(img):
+                return (img @ np.array([0.299, 0.587, 0.114], np.float32)).mean()
+
+            x = x.astype(np.float32)
             b = rng.uniform(1 - self.color_jitter, 1 + self.color_jitter)
             c = rng.uniform(1 - self.color_jitter, 1 + self.color_jitter)
             if rng.random() < 0.5:
                 x = np.clip(x * b, 0, 255)
-                gray = x.mean()
+                gray = _gray_point(x)
                 x = np.clip((x - gray) * c + gray, 0, 255)
             else:
-                gray = x.mean()
+                gray = _gray_point(x)
                 x = np.clip((x - gray) * c + gray, 0, 255)
                 x = np.clip(x * b, 0, 255)
             x = x.astype(np.uint8)
@@ -186,8 +191,8 @@ class ImageTransform:
     def _erase(
         x: np.ndarray,
         rng: np.random.Generator,
-        scale=(0.02, 0.33),
-        ratio=(0.3, 3.3),
+        scale=(0.02, 0.2),  # the reference overrides torchvision's 0.33 cap
+        ratio=(0.3, 3.3),   # (datasets/dataset.py:296)
     ) -> np.ndarray:
         H, W = x.shape[:2]
         area = H * W

@@ -12,9 +12,11 @@ datasets/dataset.py:341-447):
   view (front/back/side via filename substring; unknown -> front).
 - Text pairs 1:1 with the anchor VIS image.
 
-Samples are produced as dense numpy arrays: images [Mv, H, W, 3] float32
-(zeros for missing modalities), image_mask [Mv], caption, label.  Randomness
-uses explicit numpy Generators (reproducible + checkpointable).
+Samples are produced as dense numpy arrays: images [Mv, H, W, 3] uint8 in
+[0, 255] (zeros for missing modalities; ImageNet normalization happens
+on-device — see data/augment.py::normalize_images_device), image_mask [Mv],
+caption, label.  Randomness uses explicit numpy Generators (reproducible +
+checkpointable).
 """
 from __future__ import annotations
 
@@ -229,8 +231,17 @@ class MultiModalDataset:
         }
 
     def _select_path(
-        self, rec: Record, mod: str, target_view: str, rng: np.random.Generator
+        self,
+        rec: Record,
+        mod: str,
+        target_view: str,
+        rng: np.random.Generator,
+        any_view_fallback: bool = True,
     ) -> Optional[str]:
+        """Pick one image path for ``mod``.  sk/cp try ``target_view`` first;
+        the train path (reference: datasets/dataset.py:545-586) then tries a
+        random non-empty view before the flat pool, while the eval-query path
+        (dataset.py:651-659) falls straight to the flat pool."""
         if mod == "vis":
             if rec.vis:
                 return rec.anchor_vis if rec.anchor_vis in rec.vis else rec.vis[0]
@@ -241,7 +252,7 @@ class MultiModalDataset:
             )
         by_view = rec.sk_by_view if mod == "sk" else rec.cp_by_view
         pool = by_view.get(target_view) or []
-        if not pool:
+        if not pool and any_view_fallback:
             views_avail = [v for v in VIEWS if by_view.get(v)]
             if views_avail:
                 v = views_avail[int(rng.integers(0, len(views_avail)))]
@@ -257,17 +268,24 @@ class MultiModalDataset:
         rng: np.random.Generator,
     ) -> Dict:
         """Eval-protocol sample restricted to the given modalities with a
-        shared target view (reference: datasets/dataset.py:615-678)."""
+        shared target view (reference: datasets/dataset.py:615-678).
+
+        The shared view is drawn at random per query and sk/cp fall straight
+        from it to the flat pool — exactly the reference's
+        ``get_multimodal_query`` (dataset.py:634,651-659), NOT the train
+        path's view->any-view->flat chain."""
         rec = self.records[idx]
         S = self.config.image_size
-        target_view = "front"
+        target_view = VIEWS[int(rng.integers(0, len(VIEWS)))]
         images = np.zeros((len(VISION_MODALITIES), S, S, 3), np.uint8)
         mask = np.zeros(len(VISION_MODALITIES), np.float32)
         wants_text = "text" in query_modalities
         for mi, mod in enumerate(VISION_MODALITIES):
             if mod not in query_modalities:
                 continue
-            path = self._select_path(rec, mod, target_view, rng)
+            path = self._select_path(
+                rec, mod, target_view, rng, any_view_fallback=False
+            )
             if path is None:
                 continue
             try:

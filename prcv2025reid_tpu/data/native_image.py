@@ -14,11 +14,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional, Tuple
 
 import numpy as np
+
+from prcv2025reid_tpu.data.native_build import build_shared_library
 
 _SRC = os.path.join(os.path.dirname(__file__), "native", "image_decode.cpp")
 _lock = threading.Lock()
@@ -26,45 +27,11 @@ _lib = None
 _lib_failed = False
 
 
-def _cache_dir() -> str:
-    d = os.environ.get(
-        "PRCV_NATIVE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "prcv_native"),
-    )
-    os.makedirs(d, exist_ok=True)
-    return d
-
-
 def build_library(force: bool = False) -> Optional[str]:
-    """Compile the shared library once; returns its path or None.
-
-    Compiles to a per-pid temp file and renames atomically so concurrent
-    pipeline workers racing on a cold cache can never observe (or persist) a
-    partially written .so."""
-    so_path = os.path.join(_cache_dir(), "libimage_decode.so")
-    if (
-        os.path.exists(so_path)
-        and not force
-        and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)
-    ):
-        return so_path
-    tmp_path = f"{so_path}.{os.getpid()}.tmp"
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-ljpeg", "-o", tmp_path],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        os.replace(tmp_path, so_path)
-        return so_path
-    except Exception:
-        try:
-            os.unlink(tmp_path)
-        except OSError:
-            pass
-        return None
+    """Compile the shared library once (atomic, see native_build.py)."""
+    return build_shared_library(
+        _SRC, "libimage_decode.so", extra_flags=("-ljpeg",), force=force
+    )
 
 
 def _load() -> Optional[ctypes.CDLL]:

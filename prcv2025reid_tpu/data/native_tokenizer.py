@@ -10,40 +10,20 @@ from __future__ import annotations
 import ctypes
 import json
 import os
-import subprocess
-import tempfile
 from typing import Optional, Sequence
 
 import numpy as np
 
+from prcv2025reid_tpu.data.native_build import build_shared_library, cache_dir
+
 _SRC = os.path.join(os.path.dirname(__file__), "native", "clip_bpe.cpp")
 
-
-def _cache_dir() -> str:
-    d = os.environ.get(
-        "PRCV_NATIVE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "prcv_native"),
-    )
-    os.makedirs(d, exist_ok=True)
-    return d
+_cache_dir = cache_dir  # TSV cache lives next to the built libraries
 
 
 def build_library(force: bool = False) -> Optional[str]:
-    """Compile the shared library once; returns its path or None."""
-    so_path = os.path.join(_cache_dir(), "libclip_bpe.so")
-    if os.path.exists(so_path) and not force:
-        if os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
-            return so_path
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", so_path],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return so_path
-    except Exception:
-        return None
+    """Compile the shared library once (atomic, see native_build.py)."""
+    return build_shared_library(_SRC, "libclip_bpe.so", force=force)
 
 
 def _prepare_vocab_tsv(vocab_dir: str) -> Optional[str]:

@@ -33,10 +33,13 @@ from prcv2025reid_tpu.data.sampler import PKBatchSampler
 def collate(samples: Sequence[Dict], tokenizer) -> Dict[str, np.ndarray]:
     """Stack samples into the dense batch the model consumes."""
     images = np.stack([s["images"] for s in samples])  # [B, Mv, H, W, 3] uint8
-    declared = np.stack([s["image_mask"] for s in samples])  # [B, Mv]
-    # real-mask recomputation: declared AND tensor-non-zero
-    nonzero = (np.abs(images).sum(axis=(2, 3, 4)) > 0).astype(np.float32)
-    image_mask = declared * nonzero
+    # Real-mask semantics: the reference's collate re-tests each NORMALIZED
+    # tensor (|x|.sum() > 1e-6, dataset.py:1526-1554) to tell zero-placeholder
+    # failures apart from real images — any successfully loaded image (even
+    # all-black) is non-zero after normalize.  Here get_sample sets image_mask
+    # per load success, which IS that distinction; a uint8 pixel test would
+    # wrongly drop genuinely black source images (zero uint8 == placeholder).
+    image_mask = np.stack([s["image_mask"] for s in samples])  # [B, Mv]
 
     captions = [s["caption"] or "" for s in samples]
     tokens = tokenizer(captions).astype(np.int32)

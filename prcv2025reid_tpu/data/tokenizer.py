@@ -195,24 +195,16 @@ class CachedTokenizer:
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.context_length), np.int32)
         misses = [t for t in dict.fromkeys(texts) if t not in self._cache]
+        miss_rows: dict = {}
         if misses:
-            rows = self.inner(misses)
-            if len(self._cache) + len(misses) <= self.max_entries:
-                for t, row in zip(misses, rows):
-                    self._cache[t] = row
-            else:  # cache full: fill what fits
-                for t, row in zip(misses, rows):
-                    if len(self._cache) >= self.max_entries:
-                        break
-                    self._cache[t] = row
-        fallback = {}
+            miss_rows = dict(zip(misses, self.inner(misses)))
+            for t, row in miss_rows.items():
+                if len(self._cache) >= self.max_entries:
+                    break  # cache full: this batch's rows still serve below
+                self._cache[t] = row
         for i, t in enumerate(texts):
             row = self._cache.get(t)
-            if row is None:
-                if t not in fallback:
-                    fallback[t] = self.inner([t])[0]
-                row = fallback[t]
-            out[i] = row
+            out[i] = miss_rows[t] if row is None else row
         return out
 
 

@@ -217,7 +217,7 @@ class MERAttention(nn.Module):
     alpha: float = 1.0
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
-    attn_impl: str = "auto"
+    attn_impl: str = "xla"
     enable: bool = True  # False = shared-trunk-only (config.enable_mer)
 
     @nn.compact
@@ -374,7 +374,7 @@ class MERMlp(nn.Module):
     alpha: float = 1.0
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
-    impl: str = "auto"
+    impl: str = "xla"
     enable: bool = True  # False = shared-trunk-only (config.enable_mer)
     # GELU formulation on the FOLDED (eval/serving) forward only; training
     # (fold=False) always uses reference-exact erf (see apply_gelu)
@@ -563,8 +563,8 @@ class MERBlock(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
-    attn_impl: str = "auto"
-    mlp_impl: str = "auto"
+    attn_impl: str = "xla"
+    mlp_impl: str = "xla"
     enable_mer: bool = True  # config.enable_mer (reference: configs/config.py:27)
     # "xla" | "fused" | "fused_int8" (+ "_interpret" test variants): the fused
     # settings route the folded eval forward through the two Pallas block

@@ -93,8 +93,8 @@ class MERVisionTransformer(nn.Module):
     modalities: Tuple[str, ...] = VISION_MODALITIES
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "auto"
-    mlp_impl: str = "auto"
+    attn_impl: str = "xla"
+    mlp_impl: str = "xla"
     resln_impl: str = "xla"
     block_impl: str = "xla"  # see MERBlock.block_impl
     gelu_impl: str = "erf"  # see MERBlock.gelu_impl

@@ -39,6 +39,24 @@ def _t(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
+def _assign(tree: Dict, key: str, value, path: str):
+    """Overwrite a template leaf with shape validation + dtype preservation.
+
+    The template's dtype wins (param_dtype=f32 contract) so an fp16
+    safetensors dump cannot silently downgrade training numerics, and a
+    checkpoint/preset mismatch (e.g. patch32 weights into a patch16 template)
+    fails HERE with the offending path instead of at model apply."""
+    cur = np.asarray(tree[key])
+    value = np.asarray(value)
+    if value.shape != cur.shape:
+        raise ValueError(
+            f"shape mismatch at {path}/{key}: template {cur.shape} vs "
+            f"checkpoint {value.shape} — wrong model preset for this CLIP "
+            "checkpoint?"
+        )
+    tree[key] = value.astype(cur.dtype)
+
+
 def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a CLIP checkpoint from a local HF snapshot dir / file.
 
@@ -93,7 +111,6 @@ def convert_clip_params(
     ``{'params': {'vision': ..., 'text': ..., 'text_proj': ...}}`` or the
     inner dict.  Returns a deep-copied updated tree (same structure).
     """
-    root = params["params"] if "params" in params else params
     out_root = copy.deepcopy(params)
     out = out_root["params"] if "params" in out_root else out_root
     rng = np.random.default_rng(seed)
@@ -112,55 +129,76 @@ def convert_clip_params(
         if mod != "vis":
             k = k + rng.normal(0, NOISE_KERNEL_STD, k.shape)
             bias = bias + rng.normal(0, NOISE_BIAS_STD, bias.shape)
-        pe["kernel"] = k.astype(np.asarray(pe["kernel"]).dtype)
-        pe["bias"] = bias.astype(np.asarray(pe["bias"]).dtype)
+        _assign(pe, "kernel", k, f"vision/patch_embed_{mod}")
+        _assign(pe, "bias", bias, f"vision/patch_embed_{mod}")
 
     # --- cls / pos (models/clip_backbone.py:184-192) ---
-    vis["cls_token"] = hf["vision_model.embeddings.class_embedding"].reshape(1, 1, -1)
-    vis["pos_embed"] = hf["vision_model.embeddings.position_embedding.weight"]
+    _assign(vis, "cls_token",
+            hf["vision_model.embeddings.class_embedding"].reshape(1, 1, -1),
+            "vision")
+    _assign(vis, "pos_embed",
+            hf["vision_model.embeddings.position_embedding.weight"], "vision")
 
     # --- vision blocks (models/clip_backbone.py:87-123) ---
     n_layers = sum(1 for k in vis if k.startswith("block_"))
     for i in range(n_layers):
         blk = vis[f"block_{i}"]
         p = f"vision_model.encoder.layers.{i}."
-        blk["ln1"]["scale"] = hf[p + "layer_norm1.weight"]
-        blk["ln1"]["bias"] = hf[p + "layer_norm1.bias"]
-        blk["ln2"]["scale"] = hf[p + "layer_norm2.weight"]
-        blk["ln2"]["bias"] = hf[p + "layer_norm2.bias"]
+        at = f"vision/block_{i}"
+        _assign(blk["ln1"], "scale", hf[p + "layer_norm1.weight"], at + "/ln1")
+        _assign(blk["ln1"], "bias", hf[p + "layer_norm1.bias"], at + "/ln1")
+        _assign(blk["ln2"], "scale", hf[p + "layer_norm2.weight"], at + "/ln2")
+        _assign(blk["ln2"], "bias", hf[p + "layer_norm2.bias"], at + "/ln2")
         for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            blk["attn"][proj]["shared"]["kernel"] = _t(hf[p + f"self_attn.{proj}.weight"])
-            blk["attn"][proj]["shared"]["bias"] = hf[p + f"self_attn.{proj}.bias"]
+            _assign(blk["attn"][proj]["shared"], "kernel",
+                    _t(hf[p + f"self_attn.{proj}.weight"]), f"{at}/attn/{proj}")
+            _assign(blk["attn"][proj]["shared"], "bias",
+                    hf[p + f"self_attn.{proj}.bias"], f"{at}/attn/{proj}")
         for fc in ("fc1", "fc2"):
-            blk["mlp"][fc]["shared"]["kernel"] = _t(hf[p + f"mlp.{fc}.weight"])
-            blk["mlp"][fc]["shared"]["bias"] = hf[p + f"mlp.{fc}.bias"]
+            _assign(blk["mlp"][fc]["shared"], "kernel",
+                    _t(hf[p + f"mlp.{fc}.weight"]), f"{at}/mlp/{fc}")
+            _assign(blk["mlp"][fc]["shared"], "bias",
+                    hf[p + f"mlp.{fc}.bias"], f"{at}/mlp/{fc}")
 
     # --- vision final LN + projection (models/clip_backbone.py:241-252) ---
-    vis["ln_final"]["scale"] = hf["vision_model.post_layernorm.weight"]
-    vis["ln_final"]["bias"] = hf["vision_model.post_layernorm.bias"]
-    vis["proj"]["kernel"] = _t(hf["visual_projection.weight"])
+    _assign(vis["ln_final"], "scale", hf["vision_model.post_layernorm.weight"],
+            "vision/ln_final")
+    _assign(vis["ln_final"], "bias", hf["vision_model.post_layernorm.bias"],
+            "vision/ln_final")
+    _assign(vis["proj"], "kernel", _t(hf["visual_projection.weight"]),
+            "vision/proj")
 
     # --- text tower (copied wholesale; models/clip_backbone.py:212-215,288-313) ---
     txt = out["text"]
-    txt["token_embedding"]["embedding"] = hf["text_model.embeddings.token_embedding.weight"]
-    txt["pos_embed"] = hf["text_model.embeddings.position_embedding.weight"]
+    _assign(txt["token_embedding"], "embedding",
+            hf["text_model.embeddings.token_embedding.weight"],
+            "text/token_embedding")
+    _assign(txt, "pos_embed",
+            hf["text_model.embeddings.position_embedding.weight"], "text")
     n_text = sum(1 for k in txt if k.startswith("block_"))
     for i in range(n_text):
         blk = txt[f"block_{i}"]
         p = f"text_model.encoder.layers.{i}."
-        blk["ln1"]["scale"] = hf[p + "layer_norm1.weight"]
-        blk["ln1"]["bias"] = hf[p + "layer_norm1.bias"]
-        blk["ln2"]["scale"] = hf[p + "layer_norm2.weight"]
-        blk["ln2"]["bias"] = hf[p + "layer_norm2.bias"]
+        at = f"text/block_{i}"
+        _assign(blk["ln1"], "scale", hf[p + "layer_norm1.weight"], at + "/ln1")
+        _assign(blk["ln1"], "bias", hf[p + "layer_norm1.bias"], at + "/ln1")
+        _assign(blk["ln2"], "scale", hf[p + "layer_norm2.weight"], at + "/ln2")
+        _assign(blk["ln2"], "bias", hf[p + "layer_norm2.bias"], at + "/ln2")
         for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            blk[proj]["kernel"] = _t(hf[p + f"self_attn.{proj}.weight"])
-            blk[proj]["bias"] = hf[p + f"self_attn.{proj}.bias"]
+            _assign(blk[proj], "kernel", _t(hf[p + f"self_attn.{proj}.weight"]),
+                    f"{at}/{proj}")
+            _assign(blk[proj], "bias", hf[p + f"self_attn.{proj}.bias"],
+                    f"{at}/{proj}")
         for fc in ("fc1", "fc2"):
-            blk[fc]["kernel"] = _t(hf[p + f"mlp.{fc}.weight"])
-            blk[fc]["bias"] = hf[p + f"mlp.{fc}.bias"]
-    txt["ln_final"]["scale"] = hf["text_model.final_layer_norm.weight"]
-    txt["ln_final"]["bias"] = hf["text_model.final_layer_norm.bias"]
-    out["text_proj"]["kernel"] = _t(hf["text_projection.weight"])
+            _assign(blk[fc], "kernel", _t(hf[p + f"mlp.{fc}.weight"]),
+                    f"{at}/{fc}")
+            _assign(blk[fc], "bias", hf[p + f"mlp.{fc}.bias"], f"{at}/{fc}")
+    _assign(txt["ln_final"], "scale", hf["text_model.final_layer_norm.weight"],
+            "text/ln_final")
+    _assign(txt["ln_final"], "bias", hf["text_model.final_layer_norm.bias"],
+            "text/ln_final")
+    _assign(out["text_proj"], "kernel", _t(hf["text_projection.weight"]),
+            "text_proj")
 
     return out_root
 

@@ -83,10 +83,9 @@ def main(argv=None):
     template = TrainState.create(
         variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(1)
     )
+    ckpt_path = os.path.abspath(args.model_path)  # abspath strips any trailing /
     state, _ = restore_checkpoint(
-        os.path.dirname(os.path.abspath(args.model_path)),
-        template,
-        name=os.path.basename(args.model_path),
+        os.path.dirname(ckpt_path), template, name=os.path.basename(ckpt_path)
     )
     written = params_to_npz(
         args.out, {"params": state.params, "batch_stats": state.batch_stats}

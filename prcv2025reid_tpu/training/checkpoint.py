@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -23,7 +24,8 @@ from prcv2025reid_tpu.training.train_step import TrainState
 
 HOST_STATE_FILE = "host_state.json"
 
-# at most one async save in flight: (checkpointer, sidecar path, host_state)
+# at most one async save in flight: (checkpointer, staging dir, final dir,
+# host_state)
 _PENDING: list = []
 
 
@@ -37,16 +39,54 @@ def _default(o):
     raise TypeError(f"not JSON serializable: {type(o)}")
 
 
+def _is_complete(path: str) -> bool:
+    """A checkpoint dir is complete iff the sidecar exists — it is written
+    only after the orbax state commit, so it doubles as the commit marker."""
+    return os.path.exists(os.path.join(path, HOST_STATE_FILE)) and os.path.isdir(
+        os.path.join(path, "state")
+    )
+
+
+def _swap_into_place(staging: str, path: str):
+    """Atomically promote a COMPLETE staging dir to ``path``.
+
+    Old-checkpoint durability: the previous ``path`` is renamed aside before
+    the staging rename and removed only after, so at every instant at least
+    one complete checkpoint exists under ``path``/``path.old``/``path.tmp``
+    (``_recover_interrupted_swap`` reconciles a crash between the renames)."""
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def _recover_interrupted_swap(path: str):
+    """Make ``path`` a complete checkpoint again after a crash mid-swap."""
+    staging, old = path + ".tmp", path + ".old"
+    if _is_complete(path):
+        return
+    if _is_complete(staging):  # newest durable state: finish the swap
+        _swap_into_place(staging, path)
+    elif _is_complete(old) and not os.path.exists(path):  # roll back
+        os.rename(old, path)
+
+
 def finalize_pending_saves():
-    """Block until any in-flight async save is durable, then write its host
-    sidecar.  The sidecar is written ONLY after the state commit so
-    ``latest_checkpoint_exists`` / readers never observe a half-written
-    checkpoint directory."""
+    """Block until any in-flight async save is durable, write its host
+    sidecar into the staging dir, then atomically swap it into place.  The
+    sidecar lands ONLY after the state commit, and the previous checkpoint
+    dir is replaced only by a complete staging dir — readers never observe a
+    half-written or sidecar/state-mismatched checkpoint."""
     while _PENDING:
-        ckptr, sidecar_path, host_state = _PENDING.pop(0)
+        ckptr, staging, path, host_state = _PENDING.pop(0)
         ckptr.wait_until_finished()
-        with open(sidecar_path, "w") as f:
+        with open(os.path.join(staging, HOST_STATE_FILE), "w") as f:
             json.dump(host_state, f, default=_default)
+        _swap_into_place(staging, path)
 
 
 def save_checkpoint(
@@ -59,17 +99,25 @@ def save_checkpoint(
 ):
     """Write <directory>/<name>/ with the device state + host sidecar.
 
+    The write is staged in <name>.tmp and renamed into place only once both
+    the orbax commit and the sidecar are durable, so a crash at any point
+    leaves either the previous checkpoint or the new one intact — never a
+    deleted/partial state dir or a new state paired with a stale sidecar.
+
     ``block=False`` overlaps the storage write with subsequent compute:
     orbax's StandardCheckpointer copies the arrays OUT OF device memory
     synchronously inside ``save`` (safe even with ``donate_train_state``
     aliasing the buffers on the very next step) and persists to disk in a
-    background thread; the host sidecar lands when the commit completes
+    background thread; the sidecar + swap land when the commit completes
     (``finalize_pending_saves``, called automatically by the next save /
     restore, and by Trainer.fit on exit)."""
     finalize_pending_saves()  # order saves; at most one in flight
     path = os.path.abspath(os.path.join(directory, name))
+    staging = path + ".tmp"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "state"), state, force=True)
+    ckptr.save(os.path.join(staging, "state"), state, force=True)
     host_state = dict(host_state)
     # record the writer's monitor-ring shapes so any reader (eval CLI with a
     # default template) can build an EXACT template and restore strictly —
@@ -80,11 +128,12 @@ def save_checkpoint(
         "grad_norm_hist": list(np.shape(state.grad_norm_hist)),
     }
     if not block:
-        _PENDING.append((ckptr, os.path.join(path, HOST_STATE_FILE), host_state))
+        _PENDING.append((ckptr, staging, path, host_state))
         return
     ckptr.wait_until_finished()
-    with open(os.path.join(path, HOST_STATE_FILE), "w") as f:
+    with open(os.path.join(staging, HOST_STATE_FILE), "w") as f:
         json.dump(host_state, f, default=_default)
+    _swap_into_place(staging, path)
 
 
 def restore_checkpoint(
@@ -100,6 +149,7 @@ def restore_checkpoint(
     """
     finalize_pending_saves()  # never read past an in-flight write
     path = os.path.abspath(os.path.join(directory, name))
+    _recover_interrupted_swap(path)
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
     state_path = os.path.join(path, "state")
@@ -139,4 +189,9 @@ def restore_checkpoint(
 
 
 def latest_checkpoint_exists(directory: str, name: str = "latest") -> bool:
-    return os.path.exists(os.path.join(directory, name, HOST_STATE_FILE))
+    path = os.path.abspath(os.path.join(directory, name))
+    try:
+        _recover_interrupted_swap(path)
+    except OSError:
+        pass
+    return _is_complete(path)

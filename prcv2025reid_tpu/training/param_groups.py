@@ -60,8 +60,6 @@ def label_for_path(
 
 
 def build_label_tree(params, freeze_backbone: bool, freeze_text_backbone: bool = False):
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def label(path, _):
         keys = tuple(
             k.key if hasattr(k, "key") else str(k) for k in path
@@ -225,8 +223,12 @@ def build_optimizer(
     return tx
 
 
-def count_trainable(params, freeze_backbone: bool) -> Dict[str, int]:
-    labels = build_label_tree(params, freeze_backbone)
+def count_trainable(
+    params, freeze_backbone: bool, freeze_text_backbone: bool = False
+) -> Dict[str, int]:
+    """Per-group param counts under the SAME labeling the optimizer uses
+    (both freeze flags), so the startup report matches what actually trains."""
+    labels = build_label_tree(params, freeze_backbone, freeze_text_backbone)
     counts: Dict[str, int] = {g: 0 for g in GROUPS}
     for lbl, leaf in zip(
         jax.tree_util.tree_leaves(labels), jax.tree_util.tree_leaves(params)

@@ -183,7 +183,9 @@ class Trainer:
         )
         self._embed_cache: Dict = {}
 
-        counts = count_trainable(params, config.freeze_backbone)
+        counts = count_trainable(
+            params, config.freeze_backbone, config.freeze_text_backbone
+        )
         logger.info("param groups: %s", counts)
 
         # --- host-side state ---
@@ -527,11 +529,12 @@ class Trainer:
                     best_path = cfg.best_model_path or os.path.join(
                         cfg.save_dir, "best"
                     )
+                    best_abs = os.path.abspath(best_path)
                     save_checkpoint(
-                        os.path.dirname(os.path.abspath(best_path)),
+                        os.path.dirname(best_abs),
                         self.state,
                         self._host_state(epoch),
-                        name=os.path.basename(best_path),
+                        name=os.path.basename(best_abs),
                         block=block,
                     )
                     logger.info(

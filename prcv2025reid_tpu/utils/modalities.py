@@ -23,28 +23,34 @@ MODALITY_ID: Dict[str, int] = {m: i for i, m in enumerate(MODALITIES)}
 SINGLE_CHANNEL = ("nir", "sk")
 
 # Alias map: dataset names / legacy names -> canonical.
-# Reference: datasets/dataset.py:62-80 (CANON_DS).
+# Reference: datasets/dataset.py:62-68 (CANON_DS), reproduced exactly.
 _ALIASES: Dict[str, str] = {
-    "vis": "vis", "rgb": "vis", "visible": "vis",
+    "vis": "vis", "rgb": "vis", "visible": "vis", "v": "vis",
     "nir": "nir", "ir": "nir", "infrared": "nir",
     "sk": "sk", "sketch": "sk",
-    "cp": "cp", "cpencil": "cp", "cp_drawing": "cp", "colorpencil": "cp",
+    "cp": "cp", "cpencil": "cp", "colorpencil": "cp", "coloredpencil": "cp",
     "text": "text", "txt": "text", "caption": "text",
 }
 
 
-def canon_mod(name: str) -> Optional[str]:
-    """Map any alias to a canonical modality name; None if unknown."""
+def canon_mod(name: Optional[str]) -> str:
+    """Map any alias to its canonical modality name.
+
+    Reference-exact (datasets/dataset.py:74-78): unknown names pass through
+    lowercased/stripped (callers filter on MODALITIES membership), None -> "".
+    """
     if name is None:
-        return None
-    return _ALIASES.get(str(name).strip().lower())
+        return ""
+    key = str(name).strip().lower()
+    return _ALIASES.get(key, key)
 
 
 def canon_mods(names: Iterable[str]) -> List[str]:
+    """Canonicalize, dedupe (order-preserving), and keep only known names."""
     out = []
     for n in names:
         c = canon_mod(n)
-        if c is not None and c not in out:
+        if c in MODALITIES and c not in out:
             out.append(c)
     return out
 
@@ -52,17 +58,22 @@ def canon_mods(names: Iterable[str]) -> List[str]:
 def is_truthy(v) -> bool:
     """Truthiness helper for mask-ish annotation fields.
 
-    Reference: datasets/dataset.py:82-93 (_truthy).
+    Reference-exact (datasets/dataset.py:82-93 ``_truthy``): containers by
+    length, numbers by > 0.5, strings by non-whitespace content (a file path
+    is truthy), arrays by non-emptiness (+ |x|.sum() > 1e-6 when floating).
     """
-    if isinstance(v, bool):
-        return v
+    import numpy as np
+
     if v is None:
         return False
-    if isinstance(v, (int, float)):
-        return v != 0
-    if isinstance(v, str):
-        return v.strip().lower() in ("1", "true", "yes", "y", "t")
-    try:
+    if isinstance(v, (list, tuple, set, dict)):
         return len(v) > 0
-    except TypeError:
-        return bool(v)
+    if isinstance(v, (bool, int, float)):
+        return float(v) > 0.5
+    if isinstance(v, str):
+        return len(v.strip()) > 0
+    if isinstance(v, np.ndarray):
+        if v.size == 0:
+            return False
+        return float(np.abs(v).sum()) > 1e-6 if np.issubdtype(v.dtype, np.floating) else True
+    return True

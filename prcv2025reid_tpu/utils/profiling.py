@@ -60,6 +60,8 @@ def cost_summary(jitted_fn, *args, **kwargs) -> Dict[str, float]:
     analysis = compiled.cost_analysis()
     if isinstance(analysis, list):  # per-device list on some backends
         analysis = analysis[0] if analysis else {}
+    if not analysis:  # backends without a cost model return None
+        return {}
     out = {}
     for key in ("flops", "bytes accessed", "optimal_seconds"):
         if key in analysis:

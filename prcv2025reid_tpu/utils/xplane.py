@@ -162,7 +162,16 @@ def op_time_breakdown(
 
 
 def print_top(table: Dict[str, float], n: int = 25):
-    total = sum(table.values())
-    print(f"total device op time: {total:.2f} ms over {len(table)} ops")
+    # "XLA Ops::" lines are op OCCUPANCY; "Async ...::" lines are spans that
+    # overlap compute — summing both double-counts device time (CLAUDE.md),
+    # so async spans are excluded from the total/percentages and flagged.
+    is_async = lambda op: op.split("::", 1)[0].lower().startswith("async")
+    total = sum(ms for op, ms in table.items() if not is_async(op))
+    async_total = sum(ms for op, ms in table.items() if is_async(op))
+    print(f"total device op time: {total:.2f} ms over {len(table)} ops"
+          + (f" (+{async_total:.2f} ms async overlap, not summed)"
+             if async_total else ""))
     for op, ms in sorted(table.items(), key=lambda kv: -kv[1])[:n]:
-        print(f"  {ms:9.3f} ms  {100 * ms / max(total, 1e-9):5.1f}%  {op[:100]}")
+        pct = ("async" if is_async(op)
+               else f"{100 * ms / max(total, 1e-9):5.1f}%")
+        print(f"  {ms:9.3f} ms  {pct:>5s}  {op[:100]}")

@@ -18,7 +18,11 @@ class TestModalityCanon:
         assert canon_mod("sketch") == "sk"
         assert canon_mod("cpencil") == "cp"
         assert canon_mod("TEXT") == "text"
-        assert canon_mod("bogus") is None
+        assert canon_mod("v") == "vis"
+        assert canon_mod("coloredpencil") == "cp"
+        # reference-exact: unknown names pass through lowercased
+        assert canon_mod("bogus") == "bogus"
+        assert canon_mod(None) == ""
 
 
 class TestDataset:
@@ -138,16 +142,26 @@ class TestSampler:
 
 
 class TestCollate:
-    def test_real_mask_recomputation(self, tiny_data_config):
+    def test_real_mask_semantics(self, tiny_data_config):
+        """The real-mask distinction is placeholder-vs-loaded, not
+        pixel-nonzero: a failed load carries mask 0 out of get_sample, while a
+        genuinely all-black loaded image KEEPS its mask (the reference tests
+        the normalized tensor, where black is non-zero —
+        datasets/dataset.py:1526-1554)."""
         ds = MultiModalDataset(tiny_data_config, "train")
         tok = HashTokenizer(100, 16)
         s0 = ds.get_sample(0, np.random.default_rng(0), modality_dropout=0.0)
         s1 = ds.get_sample(1, np.random.default_rng(1), modality_dropout=0.0)
-        # corrupt: declared valid but actually zero -> collate must unmask
-        s1["images"][2] = 0.0
+        # a real-but-black image stays a valid modality
+        s1["images"][2] = 0
         batch = collate([s0, s1], tok)
-        assert batch["image_mask"][1, 2] == 0.0
+        assert batch["image_mask"][1, 2] == 1.0
         assert batch["image_mask"][0, 2] == 1.0
+        # a load failure (zero placeholder + mask 0 from get_sample) stays out
+        s1["images"][3] = 0
+        s1["image_mask"][3] = 0.0
+        batch = collate([s0, s1], tok)
+        assert batch["image_mask"][1, 3] == 0.0
         assert batch["images"].shape == (2, 4, 32, 32, 3)
         assert batch["text_tokens"].shape == (2, 16)
         assert batch["text_tokens"].dtype == np.int32
@@ -183,6 +197,35 @@ class TestPipeline:
         pipe.set_epoch(1)
         second = [b["images"] for b in pipe]
         assert any(np.abs(a - b).sum() > 0 for a, b in zip(first, second))
+
+
+class TestAugmentParity:
+    def test_contrast_matches_pil_enhance(self):
+        """Our contrast jitter must agree with PIL ImageEnhance.Contrast —
+        the exact op torchvision's ColorJitter applies to PIL inputs in the
+        reference pipeline (datasets/dataset.py:290).  The gray point is the
+        LUMA mean, not the flat channel mean."""
+        from PIL import Image, ImageEnhance
+
+        rng = np.random.default_rng(0)
+        # strongly green-dominant (luma weights green 0.587 vs flat 1/3), so
+        # the luma and flat-mean gray points differ by ~50 levels
+        x = rng.integers(0, 40, (48, 32, 3), dtype=np.uint8)
+        x[..., 1] = rng.integers(200, 256, (48, 32), dtype=np.uint8)
+        img = Image.fromarray(x)
+        for c in (0.8, 1.2):
+            oracle = np.asarray(ImageEnhance.Contrast(img).enhance(c))
+            xf = x.astype(np.float32)
+            gray = (xf @ np.array([0.299, 0.587, 0.114], np.float32)).mean()
+            ours = np.clip((xf - gray) * c + gray, 0, 255).astype(np.uint8)
+            # PIL rounds the gray point to an int and rounds per pixel
+            diff = np.abs(ours.astype(np.int32) - oracle.astype(np.int32))
+            assert diff.max() <= 2, diff.max()
+            # and the flat channel mean would NOT pass this bound
+            bad_gray = xf.mean()
+            bad = np.clip((xf - bad_gray) * c + bad_gray, 0, 255).astype(np.uint8)
+            bad_diff = np.abs(bad.astype(np.int32) - oracle.astype(np.int32))
+            assert bad_diff.max() > 2
 
 
 class TestSplit:

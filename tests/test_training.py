@@ -446,3 +446,47 @@ class TestCheckpoint:
         save_checkpoint(str(tmp_path), s1, host, name="a4", block=False)
         restored, _ = restore_checkpoint(str(tmp_path), state, name="a4")
         assert int(restored.step) == int(s1.step)
+
+    def test_overwrite_is_atomic(self, setup, tmp_path):
+        """Re-saving a name never destroys the previous checkpoint: the write
+        stages in <name>.tmp and swaps in only when complete, and interrupted
+        swaps are recovered on read."""
+        import os
+        import shutil
+
+        config, model, tx, state, step_fn = setup
+        b = _batch()
+        s1, _ = step_fn(state, b, jnp.float32(0.1), jnp.float32(0.2))
+        save_checkpoint(str(tmp_path), s1, {"epoch": 1})
+        save_checkpoint(str(tmp_path), s1, {"epoch": 2})
+        _, host = restore_checkpoint(str(tmp_path), state)
+        assert host["epoch"] == 2
+        path = str(tmp_path / "latest")
+        assert not os.path.exists(path + ".tmp")
+        assert not os.path.exists(path + ".old")
+
+        # crash before the swap (incomplete staging left behind): the old
+        # checkpoint must keep serving and the garbage must not be promoted
+        os.makedirs(path + ".tmp/state", exist_ok=True)
+        assert latest_checkpoint_exists(str(tmp_path))
+        _, host = restore_checkpoint(str(tmp_path), state)
+        assert host["epoch"] == 2
+        shutil.rmtree(path + ".tmp")
+
+        # crash between the two renames: path gone, complete staging + old —
+        # recovery must promote the NEWER staging dir
+        save_checkpoint(str(tmp_path), s1, {"epoch": 3})  # -> the new 'old'
+        os.rename(path, path + ".bak")
+        save_checkpoint(str(tmp_path), s1, {"epoch": 4})
+        os.rename(path, path + ".tmp")  # complete checkpoint as staging
+        os.rename(path + ".bak", path + ".old")
+        _, host = restore_checkpoint(str(tmp_path), state)
+        assert host["epoch"] == 4
+        assert not os.path.exists(path + ".old")
+
+        # crash after rename(path -> old) with staging not yet complete:
+        # recovery must roll the old checkpoint back into place
+        os.rename(path, path + ".old")
+        assert latest_checkpoint_exists(str(tmp_path))
+        _, host = restore_checkpoint(str(tmp_path), state)
+        assert host["epoch"] == 4

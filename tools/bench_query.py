@@ -113,7 +113,14 @@ def main(argv=None):
     def measure(path):
         mods = PATH_MODS[path]
         B = args.batch or (DEFAULT_BATCH[path] if on_tpu else 2)
-        images = jax.random.normal(rng, (B, Mv, S, S, 3), jnp.float32)
+        has_vision = any(m in mods for m in config.vision_modalities)
+        # a text-only path never reads the images — don't hold ~600 MB of
+        # random pixels on device for it (encode_subset still wants the arg)
+        images = (
+            jax.random.normal(rng, (B, Mv, S, S, 3), jnp.float32)
+            if has_vision
+            else jnp.zeros((B, Mv, S, S, 3), jnp.float32)
+        )
         image_mask = jnp.asarray(
             np.array([[1.0 if m in mods else 0.0
                        for m in config.vision_modalities]] * B), jnp.float32)

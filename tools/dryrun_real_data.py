@@ -113,14 +113,23 @@ def main(argv=None):
         export_submission_csv,
     )
 
+    from prcv2025reid_tpu.parallel.mesh import batch_sharding
+
     eval_vars = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+    # shard the embed over the mesh exactly like Trainer.evaluate: batch
+    # rounded up to a device multiple + batch_sharding (otherwise each batch
+    # runs replicated on every device)
+    n_dev = trainer.mesh.devices.size
+    eval_bs = -(-config.eval_batch_size // n_dev) * n_dev
+    eval_sharding = batch_sharding(trainer.mesh) if n_dev > 1 else None
     metrics = evaluate_protocol(
         None, eval_vars, trainer.val_ds, trainer.tokenizer,
-        batch_size=config.eval_batch_size,
+        batch_size=eval_bs,
         include_patterns=None,
         exclude_same_image=True,
         sample_ratio=args.eval_sample_ratio,
         embed_factory=trainer.embed_factory,
+        sharding=eval_sharding,
         mesh=trainer.mesh,
     )
     for key in ("map_single", "map_quad", "map_avg2", "mm1_map", "mm4_map",
@@ -135,8 +144,9 @@ def main(argv=None):
     sub = os.path.join(work, "submission.csv")
     n = export_submission_csv(
         None, eval_vars, trainer.val_ds, trainer.tokenizer, sub,
-        batch_size=config.eval_batch_size, top_k=config.rank_topk,
+        batch_size=eval_bs, top_k=config.rank_topk,
         embed_factory=trainer.embed_factory, mesh=trainer.mesh,
+        sharding=eval_sharding,
     )
     lines = open(sub).read().strip().split("\n")
     check("submission row count", len(lines) == n + 1, f"{n} rows")

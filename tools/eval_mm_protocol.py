@@ -82,6 +82,16 @@ def main(argv=None):
         default=True,
         help="--no-exclude_same_image disables the anchor-exclusion protocol",
     )
+    ap.add_argument(
+        "--eval_split", choices=("all", "val", "train"), default="all",
+        help="'all' evaluates every identity under dataset_root (the "
+        "reference tool's behavior — correct for a held-out competition test "
+        "root).  'val'/'train' reconstruct the trainer's ID-disjoint split "
+        "from the checkpoint config (val_ratio + seed) — use 'val' when "
+        "pointing at the TRAINING root so the numbers are comparable to the "
+        "trainer's reported metrics (evaluating 'all' there mixes memorized "
+        "training identities into gallery+queries and inflates mAP)",
+    )
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -112,7 +122,18 @@ def main(argv=None):
         config = config.replace(**overrides)
     num_classes = host["num_classes"]
 
-    dataset = MultiModalDataset(config, split="val")
+    if args.eval_split == "all":
+        dataset = MultiModalDataset(config, split="val")
+    else:
+        from prcv2025reid_tpu.data.split import create_split_datasets
+
+        train_ds, val_ds, _ = create_split_datasets(config)
+        dataset = val_ds if args.eval_split == "val" else train_ds
+        logging.info(
+            "eval_split=%s: %d of the root's records (ID-disjoint split from "
+            "checkpoint config val_ratio=%s seed=%s)",
+            args.eval_split, len(dataset.records), config.val_ratio, config.seed,
+        )
     tokenizer = build_tokenizer(
         config.tokenizer_vocab_path, config.text_vocab_size, config.text_context_length
     )
@@ -132,10 +153,9 @@ def main(argv=None):
     template = TrainState.create(
         variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(1)
     )
+    ckpt_path = os.path.abspath(args.model_path)  # abspath strips trailing /
     state, _ = restore_checkpoint(
-        os.path.dirname(os.path.abspath(args.model_path)),
-        template,
-        name=os.path.basename(args.model_path),
+        os.path.dirname(ckpt_path), template, name=os.path.basename(ckpt_path)
     )
     eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
 
@@ -169,7 +189,8 @@ def main(argv=None):
         replicate_state,
     )
 
-    mesh = create_mesh(batch_size=args.batch_size)
+    # config honors a checkpoint-pinned mesh_shape (parallel/mesh.py)
+    mesh = create_mesh(config=config, batch_size=args.batch_size)
     sharding = batch_sharding(mesh) if mesh.devices.size > 1 else None
     if sharding is not None:
         # params must live on the same device set as the sharded batches

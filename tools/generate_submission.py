@@ -15,22 +15,19 @@ sys.path.insert(0, _HERE)  # tools/ (eval_mm_protocol module)
 
 
 def main(argv=None):
+    import argparse
+
     import eval_mm_protocol  # reuse the full CLI with submission forced on
 
     argv = sys.argv[1:] if argv is None else list(argv)
-    if "--submission" not in " ".join(argv):
-        out = "submission.csv"
-        for i, a in enumerate(list(argv)):
-            if a == "--out":
-                out = argv[i + 1]
-                argv[i : i + 2] = []
-                break
-            if a.startswith("--out="):
-                out = a.split("=", 1)[1]
-                argv.remove(a)
-                break
-        argv += ["--submission", out]
-    return eval_mm_protocol.main(argv)
+    # translate --out into eval_mm_protocol's --submission (argparse handles
+    # every malformed spelling: missing value, --out=..., repeats)
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--submission", default=None)
+    ns, rest = ap.parse_known_args(argv)
+    out = ns.submission or ns.out or "submission.csv"
+    return eval_mm_protocol.main(rest + ["--submission", out])
 
 
 if __name__ == "__main__":

@@ -160,7 +160,13 @@ def main(argv=None):
         for line in proc.stderr.splitlines():
             if "-> using" in line:
                 winner = line.rsplit("-> using", 1)[1].strip()
-        if winner and winner != RECORDED_WINNER:
+        # a crashed/winnerless bench is a CHANGED condition, never a silent
+        # PASS — this watch exists to catch exactly that kind of surprise
+        if proc.returncode != 0:
+            changed.append(f"bench sweep FAILED (exit {proc.returncode})")
+        elif winner is None:
+            changed.append("bench sweep produced no winner line")
+        elif winner != RECORDED_WINNER:
             changed.append(
                 f"bench winner: {winner} (recorded {RECORDED_WINNER})"
             )
