@@ -194,13 +194,13 @@ def _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, quant, block_rows, interpret):
         x, ln_scale, ln_bias, w, b,
         quant=quant, block_rows=block_rows, interpret=interpret,
     )
-    return out, (x, ln_scale, ln_bias, w)
+    return out, (x, ln_scale, ln_bias, w, b)
 
 
 def _ln_qkv_bwd(quant, block_rows, interpret, res, g):
     # XLA recompute backward — the fused path is eval-only; this exists so
     # jax.grad through an eval forward still works (and for grad parity tests).
-    x, ln_scale, ln_bias, w = res
+    x, ln_scale, ln_bias, w, b = res
     if quant == "int8":
         # loud by design: a silent zero here would make jax.grad through a
         # fused_int8 forward produce zero weight gradients with no warning
@@ -210,24 +210,18 @@ def _ln_qkv_bwd(quant, block_rows, interpret, res, g):
             "fused_int8 path is serving-only; use block_impl='xla' or "
             "'fused' for any differentiated forward"
         )
-    wf = w.astype(jnp.float32)
 
-    def ref(x, s, bnorm, b_):
+    def ref(x, s, bnorm, w_, b_):
         y = _ln_f32(x, s.astype(jnp.float32), bnorm.astype(jnp.float32))
-        return jnp.einsum("gti,gio->gto", y.astype(jnp.float32), wf) + b_[
-            :, None, :
-        ].astype(jnp.float32)
+        return jnp.einsum(
+            "gti,gio->gto", y, w_.astype(jnp.float32)
+        ) + b_[:, None, :].astype(jnp.float32)
 
-    b0 = jnp.zeros((x.shape[0], wf.shape[-1]), jnp.float32)
-    _, vjp = jax.vjp(ref, x.astype(jnp.float32), ln_scale, ln_bias, b0)
-    dx, ds, db, dbias = vjp(g.astype(jnp.float32))
-    dw = jnp.einsum(
-        "gti,gto->gio",
-        _ln_f32(x, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32)),
-        g.astype(jnp.float32),
-    ).astype(w.dtype)
+    _, vjp = jax.vjp(ref, x.astype(jnp.float32), ln_scale, ln_bias, w, b)
+    dx, ds, db, dw, dbias = vjp(g.astype(jnp.float32))
     return (dx.astype(x.dtype), ds.astype(ln_scale.dtype),
-            db.astype(ln_bias.dtype), dw, dbias.astype(jnp.float32))
+            db.astype(ln_bias.dtype), dw.astype(w.dtype),
+            dbias.astype(b.dtype))
 
 
 fused_ln_qkv.defvjp(_ln_qkv_fwd, _ln_qkv_bwd)
@@ -416,11 +410,13 @@ def _out_mlp_bwd(quant, block_rows, interpret, res, g):
     (da, dx, dwo, dbo, ds, db, dw1, db1, dw2, db2) = grads
     dwo, dw1, dw2 = (dwo.astype(wo.dtype), dw1.astype(w1.dtype),
                      dw2.astype(w2.dtype))
+    # cotangent dtypes must match the PRIMAL dtypes (the production
+    # _fused_call passes bf16 biases; f32 cotangents fail custom_vjp checks)
     return (
         da.astype(attn.dtype), dx.astype(x.dtype), dwo,
-        dbo.astype(jnp.float32), ds.astype(ln_scale.dtype),
-        db.astype(ln_bias.dtype), dw1, db1.astype(jnp.float32),
-        dw2, db2.astype(jnp.float32),
+        dbo.astype(bo.dtype), ds.astype(ln_scale.dtype),
+        db.astype(ln_bias.dtype), dw1, db1.astype(b1.dtype),
+        dw2, db2.astype(b2.dtype),
     )
 
 

@@ -108,6 +108,35 @@ def test_out_mlp_int8_close(data):
     assert cos.min() > 0.995, cos.min()
 
 
+def test_grad_with_bf16_inputs_has_primal_dtypes(data):
+    """The production _fused_call passes bf16 weights AND biases; the custom
+    VJP must return cotangents in the primal dtypes or JAX rejects them
+    (regression: bias cotangents were forced to f32)."""
+    cast = {k: v.astype(jnp.bfloat16) for k, v in data.items()}
+
+    def loss_qkv(x, w, b):
+        return fused_ln_qkv(
+            x, cast["lns"], cast["lnb"], w, b, "bf16", 32, True
+        ).astype(jnp.float32).sum()
+
+    gx, gw, gb = jax.grad(loss_qkv, argnums=(0, 1, 2))(
+        cast["x"], cast["wqkv"], cast["bqkv"]
+    )
+    assert gx.dtype == gw.dtype == gb.dtype == jnp.bfloat16
+    assert all(bool(jnp.isfinite(g.astype(jnp.float32)).all()) for g in (gx, gw, gb))
+
+    def loss_mlp(attn, bo, b1, b2):
+        return fused_out_mlp(
+            attn, cast["x"], cast["wo"], bo, cast["lns"], cast["lnb"],
+            cast["w1"], b1, cast["w2"], b2, "bf16", 32, True,
+        ).astype(jnp.float32).sum()
+
+    ga, gbo, gb1, gb2 = jax.grad(loss_mlp, argnums=(0, 1, 2, 3))(
+        cast["attn"], cast["bo"], cast["b1"], cast["b2"]
+    )
+    assert ga.dtype == gbo.dtype == gb1.dtype == gb2.dtype == jnp.bfloat16
+
+
 def test_config_rejects_typoed_paths():
     from prcv2025reid_tpu.configs import TrainingConfig
 

@@ -123,6 +123,77 @@ def test_embed_texts(served):
     np.testing.assert_allclose(feats, direct, rtol=1e-4, atol=1e-4)
 
 
+def test_microbatcher_coalesces_deterministically():
+    """While one batch occupies the 'device', queued same-group requests must
+    be served by ONE coalesced dispatch; a different group never mixes in."""
+    import serve_embed
+
+    calls = []
+    release = threading.Event()
+    first_entered = threading.Event()
+
+    def fake_texts(items):
+        if not calls:
+            first_entered.set()
+            release.wait(timeout=30)  # hold the device busy
+        calls.append(("texts", list(items)))
+        return np.arange(len(items), dtype=np.float32)[:, None]
+
+    def fake_pils(items, mod):
+        calls.append((("images", mod), list(items)))
+        return np.zeros((len(items), 1), np.float32)
+
+    engine = (fake_pils, fake_texts, None)
+    b = serve_embed.MicroBatcher(engine, max_items=8)
+    f0 = b.submit(("texts",), ["t0"])
+    assert first_entered.wait(timeout=30)
+    # these queue up while the first dispatch is 'on device'
+    f1 = b.submit(("texts",), ["t1", "t2"])
+    f2 = b.submit(("images", "nir"), ["i0"])
+    f3 = b.submit(("texts",), ["t3"])
+    release.set()
+    r0, r1, r2, r3 = (f.result(timeout=30) for f in (f0, f1, f2, f3))
+    assert r0.shape == (1, 1) and r1.shape == (2, 1) and r3.shape == (1, 1)
+    assert r2.shape == (1, 1)
+    text_calls = [c for c in calls if c[0] == "texts"]
+    assert text_calls[0][1] == ["t0"]
+    # t1,t2,t3 coalesced into ONE device dispatch; results split per request
+    assert text_calls[1][1] == ["t1", "t2", "t3"]
+    assert (r1[:, 0] == [0.0, 1.0]).all() and r3[0, 0] == 2.0
+    assert b.dispatches == 3 and b.requests == 4
+
+    # an engine fault reaches every coalesced requester as an exception
+    def boom(items):
+        raise RuntimeError("device fault")
+
+    b2 = serve_embed.MicroBatcher((fake_pils, boom, None), max_items=8)
+    with pytest.raises(RuntimeError, match="device fault"):
+        b2.submit(("texts",), ["x"]).result(timeout=30)
+
+
+def test_concurrent_requests_match_sequential(served):
+    url, (_, embed_texts, _), config = served
+    texts = [f"person number {i}" for i in range(6)]
+    results = {}
+
+    def post_one(i):
+        results[i] = _post(url + "/embed", {"texts": [texts[i]]})
+
+    threads = [threading.Thread(target=post_one, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    direct = embed_texts(texts)
+    for i in range(6):
+        code, body = results[i]
+        assert code == 200 and body["count"] == 1
+        np.testing.assert_allclose(
+            np.asarray(body["embeddings"], np.float32)[0], direct[i],
+            rtol=1e-4, atol=1e-4,
+        )
+
+
 def test_bad_requests(served):
     url, _, _ = served
     code, body = _post(url + "/embed", {"images_b64": ["xx"], "modality": "bogus"})

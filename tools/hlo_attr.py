@@ -78,6 +78,10 @@ def main():
         else:
             comp[component_of(scope, args.depth)] += ms
     total = sum(ops.values())
+    if total <= 0:
+        print("no device 'XLA Ops' found in the trace — wrong --trace path "
+              "or a host-only profile")
+        return
     print(f"total device time/step: {total:.2f} ms "
           f"({unmatched:.2f} ms unmatched)")
     for k, v in sorted(comp.items(), key=lambda kv: -kv[1]):

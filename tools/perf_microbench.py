@@ -393,7 +393,7 @@ def probe_ln_variants():
             _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0.0)))
             return acc
         timed(fn, x, br, flops_per_iter=float(nbytes), label=f"res+LN {name}",
-              unit="GB/s(traffic)")
+              unit="TB/s(traffic)")  # timed() divides by 1e12
 
 
 def probe_bw():

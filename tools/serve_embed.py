@@ -173,34 +173,106 @@ def make_engine(config, model, variables, batch_size):
     return embed_pils, embed_texts, embed_paths
 
 
-def make_server(port, host, config, engine):
+class MicroBatcher:
+    """Coalesces concurrent embed requests into shared device batches.
+
+    The device executes one batch at a time; the old design serialized whole
+    requests through a lock, so N concurrent 1-item requests paid N padded
+    dispatches.  Here every request enqueues ``(group_key, items)`` and ONE
+    dispatcher thread drains the queue: while a batch is on the device, newly
+    arrived same-group requests pile up and the next drain embeds them
+    together (opportunistic batching — zero added latency when idle, device-
+    batch-sized coalescing under load).  Groups: ``("texts",)`` and
+    ``("images", modality)`` — different graphs never mix."""
+
+    def __init__(self, engine, max_items):
+        import queue as queuelib
+        import threading
+        from concurrent.futures import Future
+
+        self._Future = Future
+        self._embed_pils, self._embed_texts, _ = engine
+        self._q = queuelib.Queue()
+        self._empty = queuelib.Empty
+        self._max = max(1, max_items)
+        self.dispatches = 0  # batches sent to the device
+        self.requests = 0  # requests served (>= dispatches under load)
+        t = threading.Thread(target=self._run, daemon=True,
+                             name="serve-embed-batcher")
+        t.start()
+
+    def submit(self, key, items):
+        """-> Future resolving to the [len(items), fusion_dim] features."""
+        fut = self._Future()
+        self._q.put((key, items, fut))
+        return fut
+
+    def _call(self, key, items):
+        if key[0] == "texts":
+            return self._embed_texts(items)
+        return self._embed_pils(items, key[1])
+
+    def _run(self):
+        while True:
+            key, items, fut = self._q.get()
+            group = [(items, fut)]
+            n = len(items)
+            requeue = []
+            # coalesce same-group requests that queued up meanwhile, up to
+            # one device batch; others go back in arrival order
+            while n < self._max:
+                try:
+                    k2, it2, f2 = self._q.get_nowait()
+                except self._empty:
+                    break
+                if k2 == key and n + len(it2) <= self._max:
+                    group.append((it2, f2))
+                    n += len(it2)
+                else:
+                    requeue.append((k2, it2, f2))
+            for entry in requeue:
+                self._q.put(entry)
+            try:
+                feats = self._call(key, [x for it, _ in group for x in it])
+            except BaseException as e:  # noqa: BLE001 — delivered per-request
+                for _, f in group:
+                    f.set_exception(e)
+                continue
+            self.dispatches += 1
+            self.requests += len(group)
+            off = 0
+            for it, f in group:
+                f.set_result(feats[off : off + len(it)])
+                off += len(it)
+
+
+def make_server(port, host, config, engine, batch_items=None):
     """Build (without starting) the HTTP embedding server — see the module
-    docstring for the API.  Requests serialize through one lock — the device
-    executes one batch at a time anyway; concurrency belongs in the batch
-    dimension."""
+    docstring for the API.  Concurrent requests coalesce into shared device
+    batches via :class:`MicroBatcher` (concurrency belongs in the batch
+    dimension)."""
     import base64
     import io
-    import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from PIL import Image
 
-    embed_pils, embed_texts, _ = engine
-    lock = threading.Lock()
     valid_mods = tuple(config.vision_modalities)
     MAX_BODY = 64 * 1024 * 1024  # b64 images batch cap; this host is small
+    batcher = MicroBatcher(
+        engine, batch_items or config.inference_batch_size
+    )
 
     class BadRequest(ValueError):
         pass
 
     def _parse(req):
-        """Validate the payload and build the embed thunk (raises BadRequest
-        on any client error; the thunk itself runs device work)."""
+        """Validate the payload into a (group_key, items) pair for the
+        batcher (raises BadRequest on any client error)."""
         if "texts" in req:
             if not isinstance(req["texts"], list):
                 raise BadRequest("'texts' must be a JSON list of strings")
-            texts = [str(t) for t in req["texts"]]
-            return lambda: embed_texts(texts)
+            return ("texts",), [str(t) for t in req["texts"]]
         if "images_b64" in req:
             if not isinstance(req["images_b64"], list):
                 raise BadRequest("'images_b64' must be a JSON list")
@@ -216,7 +288,7 @@ def make_server(port, host, config, engine):
                     im.load()  # decode errors surface as 400 here
             except Exception as e:
                 raise BadRequest(f"undecodable image: {e}") from e
-            return lambda: embed_pils(imgs, mod)
+            return ("images", mod), imgs
         raise BadRequest("body needs 'texts' or 'images_b64'")
 
     class Handler(BaseHTTPRequestHandler):
@@ -235,6 +307,8 @@ def make_server(port, host, config, engine):
                     "fusion_dim": config.fusion_dim,
                     "modalities": list(valid_mods) + ["text"],
                     "image_size": config.image_size,
+                    "batch_dispatches": batcher.dispatches,
+                    "batch_requests": batcher.requests,
                 })
             else:
                 self._send(404, {"error": "unknown path"})
@@ -252,12 +326,11 @@ def make_server(port, host, config, engine):
                     req = json.loads(self.rfile.read(length) or b"{}")
                     if not isinstance(req, dict):
                         raise BadRequest("body must be a JSON object")
-                    thunk = _parse(req)
+                    key, items = _parse(req)
                 except (BadRequest, json.JSONDecodeError, UnicodeDecodeError) as e:
                     self._send(400, {"error": str(e)})
                     return
-                with lock:
-                    feats = thunk()
+                feats = batcher.submit(key, items).result()
                 self._send(200, {"embeddings": feats.tolist(),
                                  "count": int(feats.shape[0])})
             except BrokenPipeError:
@@ -269,7 +342,9 @@ def make_server(port, host, config, engine):
         def log_message(self, *args):
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.batcher = batcher  # exposed for tests / observability
+    return srv
 
 
 def warmup_engine(config, engine, modalities=None):

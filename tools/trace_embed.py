@@ -88,7 +88,12 @@ def main():
             out = embed(variables, images)
         float(out.astype(jnp.float32).sum())
 
-    table = op_time_breakdown(args.out)
+    # only "XLA Ops::" lines are op OCCUPANCY — module/step/async spans
+    # overlap them and must not be summed (CLAUDE.md measurement rule)
+    table = {
+        k: v for k, v in op_time_breakdown(args.out).items()
+        if k.startswith("XLA Ops::")
+    }
     per_step = {k: v / args.iters for k, v in table.items()}
     print(f"\n=== per-step op table (batch={B}, block_impl={args.block_impl}) ===")
     print_top(per_step, n=40)
@@ -113,8 +118,11 @@ def main():
     print("\n=== rollup ===")
     for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {v:9.3f} ms  {100 * v / max(total, 1e-9):5.1f}%  {k}")
-    print(f"  {total:9.3f} ms  total -> {B / (total / 1e3):.0f} embeds/s "
-          f"(device-op time only)")
+    if total > 0:
+        print(f"  {total:9.3f} ms  total -> {B / (total / 1e3):.0f} embeds/s "
+              f"(device-op time only)")
+    else:
+        print("  no device 'XLA Ops' found in the trace (CPU run?)")
 
 
 if __name__ == "__main__":

@@ -29,11 +29,14 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="enable per-block rematerialization (remat_blocks)")
     ap.add_argument("--remat-policy", default="full", choices=("full", "dots"))
-    ap.add_argument("--gelu-bwd", default="remat", choices=("remat", "stored"),
-                    help="training GELU backward scheduling (configs.gelu_bwd)")
-    ap.add_argument("--donate", action="store_true",
-                    help="donate the train state into the step (the Trainer's "
-                         "production aliasing path, configs.donate_train_state)")
+    ap.add_argument("--gelu-bwd", default="stored", choices=("remat", "stored"),
+                    help="training GELU backward scheduling; default matches "
+                         "the production config (configs.gelu_bwd='stored')")
+    ap.add_argument("--donate", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="donate the train state into the step; default ON to "
+                         "match the Trainer (configs.donate_train_state) — "
+                         "--no-donate measures the non-aliasing step")
     args = ap.parse_args()
     P, K = (int(v) for v in args.pk.split("x"))
     B = P * K
