@@ -5,10 +5,20 @@ validated the standard way — 8 virtual CPU devices via XLA flags.  This must
 run before jax initializes its backends, hence module level in conftest.
 """
 import os
+import re
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+# the suite owns its device topology: rewrite any pre-existing count to 8
+# rather than aborting later on an inherited 4-device environment
+if "xla_force_host_platform_device_count" in flags:
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8",
+        flags,
+    )
+    os.environ["XLA_FLAGS"] = flags
+else:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -23,7 +33,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 assert jax.default_backend() == "cpu", "tests must run on CPU devices"
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {len(jax.devices())} — jax "
+    "initialized before conftest could set XLA_FLAGS (import order issue?)"
+)
 
 
 @pytest.fixture
@@ -32,7 +45,8 @@ def rng():
 
 
 # promoted into the package (round 3) so __graft_entry__'s submission-export
-# dry run can build a dataset too; re-exported here for test callers
+# dry run can build a dataset too; re-exported here because the verify-skill
+# drive recipes do `from conftest import make_synthetic_orbench`
 from prcv2025reid_tpu.utils.synthetic import make_synthetic_orbench  # noqa: E402,F401
 
 
@@ -44,8 +58,6 @@ def orbench_root(tmp_path_factory):
 
 @pytest.fixture(scope="session")
 def tiny_data_config(orbench_root):
-    import os
-
     from prcv2025reid_tpu.configs import TrainingConfig
 
     return TrainingConfig(

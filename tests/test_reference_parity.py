@@ -19,15 +19,157 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _import_reference(*names):
+    """Import reference top-level modules with sys.path restored even when
+    an import fails (a leaked /root/reference at sys.path[0] would shadow
+    same-named top-level packages for the whole session)."""
+    import importlib
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        return [importlib.import_module(n) for n in names]
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+class _FP:
+    """Shared tiny ViT-B/16-SHAPED dims for every golden-parity fixture
+    (image 224 / patch 16 are hard requirements of the reference's
+    MultiModalPatchEmbeds)."""
+
+    D_V, L_V, H_V, MLP_V = 64, 2, 4, 128
+    IMG, PATCH = 224, 16
+    D_T, L_T, H_T, MLP_T = 48, 2, 4, 96
+    VOCAB, CTX = 120, 16
+    PROJ = 32
+    C = 5  # id classes
+
+
+def _t(x):
+    return np.asarray(x.detach().numpy(), np.float32)
+
+
+def fusion_params_from_ref(fus):
+    """torch FeatureFusion -> our FeatureFusion param dict (packed-MHA
+    in_proj split into q/k/v; torch Linear [out,in] -> flax [in,out])."""
+    ip_w, ip_b = _t(fus.multihead_attn.in_proj_weight), _t(fus.multihead_attn.in_proj_bias)
+    D = ip_w.shape[1]
+    mlp = fus.mlp
+    return {
+        "q_proj": {"kernel": ip_w[:D].T, "bias": ip_b[:D]},
+        "k_proj": {"kernel": ip_w[D:2 * D].T, "bias": ip_b[D:2 * D]},
+        "v_proj": {"kernel": ip_w[2 * D:].T, "bias": ip_b[2 * D:]},
+        "out_proj": {"kernel": _t(fus.multihead_attn.out_proj.weight).T,
+                     "bias": _t(fus.multihead_attn.out_proj.bias)},
+        "norm1": {"scale": _t(fus.norm1.weight), "bias": _t(fus.norm1.bias)},
+        "norm2": {"scale": _t(fus.norm2.weight), "bias": _t(fus.norm2.bias)},
+        "mlp_ln": {"scale": _t(mlp[0].weight), "bias": _t(mlp[0].bias)},
+        "mlp_fc1": {"kernel": _t(mlp[1].weight).T, "bias": _t(mlp[1].bias)},
+        "mlp_fc2": {"kernel": _t(mlp[4].weight).T, "bias": _t(mlp[4].bias)},
+    }
+
+
+def sdm_params_from_ref(sdm):
+    """torch SemanticDisentanglementModule -> our param dict (seq-1 attention
+    reduced analytically: only the v/out projections survive)."""
+    ip_w, ip_b = _t(sdm.semantic_attn.in_proj_weight), _t(sdm.semantic_attn.in_proj_bias)
+    D = ip_w.shape[1]
+    sp = sdm.semantic_proj
+    return {
+        "v_proj": {"kernel": ip_w[2 * D:].T, "bias": ip_b[2 * D:]},
+        "attn_out_proj": {"kernel": _t(sdm.semantic_attn.out_proj.weight).T,
+                          "bias": _t(sdm.semantic_attn.out_proj.bias)},
+        "proj1": {"kernel": _t(sp[0].weight).T, "bias": _t(sp[0].bias)},
+        "proj_ln": {"scale": _t(sp[1].weight), "bias": _t(sp[1].bias)},
+        "proj2": {"kernel": _t(sp[4].weight).T, "bias": _t(sp[4].bias)},
+    }
+
+
+def _build_clip_ckpt(tmp_path_factory, seed, name):
+    """Random tiny CLIPModel -> save_pretrained dir (the converter input)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+    torch.manual_seed(seed)
+    cfg = CLIPConfig(
+        text_config=CLIPTextConfig(
+            hidden_size=_FP.D_T, intermediate_size=_FP.MLP_T,
+            num_hidden_layers=_FP.L_T, num_attention_heads=_FP.H_T,
+            vocab_size=_FP.VOCAB, max_position_embeddings=_FP.CTX,
+            projection_dim=_FP.PROJ, eos_token_id=_FP.VOCAB - 1,
+            bos_token_id=_FP.VOCAB - 2,
+        ).to_dict(),
+        vision_config=CLIPVisionConfig(
+            hidden_size=_FP.D_V, intermediate_size=_FP.MLP_V,
+            num_hidden_layers=_FP.L_V, num_attention_heads=_FP.H_V,
+            image_size=_FP.IMG, patch_size=_FP.PATCH,
+            projection_dim=_FP.PROJ,
+        ).to_dict(),
+        projection_dim=_FP.PROJ,
+    )
+    clip = CLIPModel(cfg).eval()
+    ckpt_dir = tmp_path_factory.mktemp(name)
+    clip.save_pretrained(str(ckpt_dir))
+    return torch, str(ckpt_dir)
+
+
+def _ref_encoder_from_ckpt(ckpt_dir, extra_modules=()):
+    """The reference's own CLIPUnifiedEncoder on a saved checkpoint, with its
+    HF tokenizer load stubbed (no tokenizer files offline; encode_text is
+    driven by token ids).  Returns (ref_encoder, [extra modules...])."""
+    mods = _import_reference("models.clip_backbone", *extra_modules)
+    cb, extras = mods[0], mods[1:]
+    orig_tok = cb.CLIPTokenizer
+
+    class _TokStub:
+        @staticmethod
+        def from_pretrained(name):
+            return None
+
+    cb.CLIPTokenizer = _TokStub
+    try:
+        ref = cb.CLIPUnifiedEncoder(
+            clip_model_name=str(ckpt_dir),
+            vision_hidden_dim=_FP.D_V,
+            text_hidden_dim=_FP.D_T,
+            fusion_dim=_FP.PROJ,
+            lora_rank=4,
+            lora_alpha=1.0,
+            drop_path=0.0,
+        ).eval()
+    finally:
+        cb.CLIPTokenizer = orig_tok
+    return ref, extras
+
+
+def _sync_patch_embeds(ref_enc, vision_root):
+    """Copy the reference's actual patch-embed weights into our tree.
+
+    Patch-embed weights are RNG-divergent by design: both sides add their own
+    random symmetry-breaking noise to non-vis kernels (reference:
+    patch_embeds.py:158-167 with torch RNG; ours: convert_clip.py with numpy
+    RNG), and the reference additionally keeps its conv bias at torch's
+    random default because HF CLIP's patch conv has bias=False
+    (patch_embeds.py:106-108 no-ops on clip_bias=None) — ours deliberately
+    zero-initializes instead.  Syncing pins everything DOWNSTREAM
+    (cls/pos/blocks/LN/proj conversion) exactly."""
+    for mod in ("vis", "nir", "sk", "cp"):
+        pe = getattr(ref_enc.patch_embeds, mod)
+        vision_root[f"patch_embed_{mod}"]["kernel"] = (
+            pe.proj.weight.detach().numpy().transpose(2, 3, 1, 0).astype(np.float32)
+        )
+        vision_root[f"patch_embed_{mod}"]["bias"] = (
+            pe.proj.bias.detach().numpy().astype(np.float32)
+        )
+
+
 @pytest.fixture(scope="module")
 def ref_modules():
     torch = pytest.importorskip("torch")
-    sys.path.insert(0, REFERENCE)
-    import importlib
-
-    sdm_loss_ref = importlib.import_module("models.sdm_loss")
-    patch_embeds_ref = importlib.import_module("models.patch_embeds")
-    sys.path.remove(REFERENCE)
+    sdm_loss_ref, patch_embeds_ref = _import_reference(
+        "models.sdm_loss", "models.patch_embeds"
+    )
     return torch, sdm_loss_ref, patch_embeds_ref
 
 
@@ -35,11 +177,7 @@ def ref_modules():
 def ref_model_module():
     torch = pytest.importorskip("torch")
     pytest.importorskip("transformers")
-    sys.path.insert(0, REFERENCE)
-    import importlib
-
-    model_ref = importlib.import_module("models.model")
-    sys.path.remove(REFERENCE)
+    (model_ref,) = _import_reference("models.model")
     return torch, model_ref
 
 
@@ -112,16 +250,14 @@ class TestPatchEmbedGoldenParity:
                 in_chans=in_chans, embed_dim=D, patch_size=P, img_size=S
             ).eval()
             with torch.no_grad():
-                x_t = torch.tensor(imgs.transpose(0, 3, 1, 2))
-                if in_chans == 1:
-                    x_t = x_t  # reference reduces 3->1 internally
-                want = ref(x_t).numpy()  # [2, num_patches, D]
+                # 3-channel input either way: the 1-channel reference embed
+                # reduces 3->1 internally, and so does ours
+                want = ref(torch.tensor(imgs.transpose(0, 3, 1, 2))).numpy()
 
             mod = PatchEmbed(
                 embed_dim=D, patch_size=P, in_chans=in_chans, dtype=jnp.float32
             )
-            params = mod.init(__import__("jax").random.PRNGKey(0), jnp.asarray(imgs))
-            # copy reference conv weights into our layout [P, P, C, D]
+            # reference conv weights in our layout [P, P, C, D]
             w = ref.proj.weight.detach().numpy().transpose(2, 3, 1, 0)
             b = ref.proj.bias.detach().numpy()
             params = {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}}
@@ -178,43 +314,6 @@ class TestBNNeckGoldenParity:
 
 
 class TestFeatureFusionGoldenParity:
-    def _convert(self, ref, jnp):
-        ip_w = ref.multihead_attn.in_proj_weight.detach().numpy()
-        ip_b = ref.multihead_attn.in_proj_bias.detach().numpy()
-        D = ip_w.shape[1]
-        mlp = ref.mlp
-        return {
-            "params": {
-                "q_proj": {"kernel": jnp.asarray(ip_w[:D].T), "bias": jnp.asarray(ip_b[:D])},
-                "k_proj": {"kernel": jnp.asarray(ip_w[D:2*D].T), "bias": jnp.asarray(ip_b[D:2*D])},
-                "v_proj": {"kernel": jnp.asarray(ip_w[2*D:].T), "bias": jnp.asarray(ip_b[2*D:])},
-                "out_proj": {
-                    "kernel": jnp.asarray(ref.multihead_attn.out_proj.weight.detach().numpy().T),
-                    "bias": jnp.asarray(ref.multihead_attn.out_proj.bias.detach().numpy()),
-                },
-                "norm1": {
-                    "scale": jnp.asarray(ref.norm1.weight.detach().numpy()),
-                    "bias": jnp.asarray(ref.norm1.bias.detach().numpy()),
-                },
-                "norm2": {
-                    "scale": jnp.asarray(ref.norm2.weight.detach().numpy()),
-                    "bias": jnp.asarray(ref.norm2.bias.detach().numpy()),
-                },
-                "mlp_ln": {
-                    "scale": jnp.asarray(mlp[0].weight.detach().numpy()),
-                    "bias": jnp.asarray(mlp[0].bias.detach().numpy()),
-                },
-                "mlp_fc1": {
-                    "kernel": jnp.asarray(mlp[1].weight.detach().numpy().T),
-                    "bias": jnp.asarray(mlp[1].bias.detach().numpy()),
-                },
-                "mlp_fc2": {
-                    "kernel": jnp.asarray(mlp[4].weight.detach().numpy().T),
-                    "bias": jnp.asarray(mlp[4].bias.detach().numpy()),
-                },
-            }
-        }
-
     @pytest.mark.parametrize(
         "masks",
         [
@@ -244,7 +343,7 @@ class TestFeatureFusionGoldenParity:
             ).numpy()
 
         mod = FeatureFusion(num_heads=4, mlp_ratio=2.0, dropout=0.0, dtype=jnp.float32)
-        variables = self._convert(ref, jnp)
+        variables = {"params": fusion_params_from_ref(ref)}
         got = np.asarray(
             mod.apply(variables, jnp.asarray(feats), jnp.asarray(mask_arr))
         )
@@ -268,30 +367,7 @@ class TestSDMModuleGoldenParity:
         with torch.no_grad():
             want = ref(torch.tensor(x)).numpy()
 
-        ip_w = ref.semantic_attn.in_proj_weight.detach().numpy()
-        ip_b = ref.semantic_attn.in_proj_bias.detach().numpy()
-        sp = ref.semantic_proj
-        variables = {
-            "params": {
-                "v_proj": {"kernel": jnp.asarray(ip_w[2*D:].T), "bias": jnp.asarray(ip_b[2*D:])},
-                "attn_out_proj": {
-                    "kernel": jnp.asarray(ref.semantic_attn.out_proj.weight.detach().numpy().T),
-                    "bias": jnp.asarray(ref.semantic_attn.out_proj.bias.detach().numpy()),
-                },
-                "proj1": {
-                    "kernel": jnp.asarray(sp[0].weight.detach().numpy().T),
-                    "bias": jnp.asarray(sp[0].bias.detach().numpy()),
-                },
-                "proj_ln": {
-                    "scale": jnp.asarray(sp[1].weight.detach().numpy()),
-                    "bias": jnp.asarray(sp[1].bias.detach().numpy()),
-                },
-                "proj2": {
-                    "kernel": jnp.asarray(sp[4].weight.detach().numpy().T),
-                    "bias": jnp.asarray(sp[4].bias.detach().numpy()),
-                },
-            }
-        }
+        variables = {"params": sdm_params_from_ref(ref)}
         mod = SemanticDisentanglementModule(semantic_dim=D, num_heads=4, dtype=jnp.float32)
         got = np.asarray(mod.apply(variables, jnp.asarray(x), deterministic=True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
@@ -393,66 +469,12 @@ class TestUnifiedEncoderEndToEndGoldenParity:
     to a real checkpoint's; only the values differ.
     """
 
-    D_V, L_V, H_V, MLP_V = 64, 2, 4, 128
-    IMG, PATCH = 224, 16
-    D_T, L_T, H_T, MLP_T = 48, 2, 4, 96
-    VOCAB, CTX = 120, 16
-    PROJ = 32
+    IMG, CTX, VOCAB = _FP.IMG, _FP.CTX, _FP.VOCAB
 
     @pytest.fixture(scope="class")
     def pair(self, tmp_path_factory):
-        torch = pytest.importorskip("torch")
-        transformers = pytest.importorskip("transformers")
-        from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
-
-        cls = type(self)
-        torch.manual_seed(7)
-        vision_cfg = CLIPVisionConfig(
-            hidden_size=cls.D_V, intermediate_size=cls.MLP_V,
-            num_hidden_layers=cls.L_V, num_attention_heads=cls.H_V,
-            image_size=cls.IMG, patch_size=cls.PATCH, projection_dim=cls.PROJ,
-        )
-        text_cfg = CLIPTextConfig(
-            hidden_size=cls.D_T, intermediate_size=cls.MLP_T,
-            num_hidden_layers=cls.L_T, num_attention_heads=cls.H_T,
-            vocab_size=cls.VOCAB, max_position_embeddings=cls.CTX,
-            projection_dim=cls.PROJ, eos_token_id=cls.VOCAB - 1,
-            bos_token_id=cls.VOCAB - 2,
-        )
-        cfg = CLIPConfig(
-            text_config=text_cfg.to_dict(), vision_config=vision_cfg.to_dict(),
-            projection_dim=cls.PROJ,
-        )
-        clip = CLIPModel(cfg).eval()
-        ckpt_dir = tmp_path_factory.mktemp("clip_ckpt")
-        clip.save_pretrained(str(ckpt_dir))
-
-        # --- the reference's own encoder, loading that checkpoint dir ---
-        sys.path.insert(0, REFERENCE)
-        import importlib
-
-        cb = importlib.import_module("models.clip_backbone")
-        sys.path.remove(REFERENCE)
-        orig_tok = cb.CLIPTokenizer
-
-        class _TokStub:  # no tokenizer files offline; encode_text is driven by ids
-            @staticmethod
-            def from_pretrained(name):
-                return None
-
-        cb.CLIPTokenizer = _TokStub
-        try:
-            ref = cb.CLIPUnifiedEncoder(
-                clip_model_name=str(ckpt_dir),
-                vision_hidden_dim=cls.D_V,
-                text_hidden_dim=cls.D_T,
-                fusion_dim=cls.PROJ,
-                lora_rank=4,
-                lora_alpha=1.0,
-                drop_path=0.0,
-            ).eval()
-        finally:
-            cb.CLIPTokenizer = orig_tok
+        torch, ckpt_dir = _build_clip_ckpt(tmp_path_factory, seed=7, name="clip_ckpt")
+        ref, _ = _ref_encoder_from_ckpt(ckpt_dir)
 
         # --- ours, through the real converter path ---
         import jax
@@ -465,37 +487,21 @@ class TestUnifiedEncoderEndToEndGoldenParity:
         )
 
         enc = UnifiedEncoder(
-            embed_dim=cls.D_V, num_layers=cls.L_V, num_heads=cls.H_V,
-            mlp_dim=cls.MLP_V, patch_size=cls.PATCH, image_size=cls.IMG,
-            fusion_dim=cls.PROJ, text_width=cls.D_T, text_layers=cls.L_T,
-            text_heads=cls.H_T, text_mlp_dim=cls.MLP_T, text_vocab=cls.VOCAB,
-            context_length=cls.CTX, dtype=jnp.float32, attn_impl="xla",
+            embed_dim=_FP.D_V, num_layers=_FP.L_V, num_heads=_FP.H_V,
+            mlp_dim=_FP.MLP_V, patch_size=_FP.PATCH, image_size=_FP.IMG,
+            fusion_dim=_FP.PROJ, text_width=_FP.D_T, text_layers=_FP.L_T,
+            text_heads=_FP.H_T, text_mlp_dim=_FP.MLP_T, text_vocab=_FP.VOCAB,
+            context_length=_FP.CTX, dtype=jnp.float32, attn_impl="xla",
         )
         params = enc.init(
             jax.random.PRNGKey(0),
-            jnp.zeros((1, 4, cls.IMG, cls.IMG, 3)),
-            jnp.zeros((1, cls.CTX), jnp.int32),
+            jnp.zeros((1, 4, _FP.IMG, _FP.IMG, 3)),
+            jnp.zeros((1, _FP.CTX), jnp.int32),
         )
         hf = load_hf_state_dict(str(ckpt_dir))
         converted = convert_clip_params(hf, params, seed=0)
-
-        # Patch-embed weights are RNG-divergent by design: both sides add
-        # their own random symmetry-breaking noise to non-vis kernels
-        # (reference: patch_embeds.py:158-167 with torch RNG; ours:
-        # convert_clip.py with numpy RNG), and the reference additionally
-        # keeps its conv bias at torch's random default because HF CLIP's
-        # patch conv has bias=False (patch_embeds.py:106-108 no-ops on
-        # clip_bias=None) — ours deliberately zero-initializes instead.
-        # Sync the reference's actual patch-embed weights into our tree so
-        # everything DOWNSTREAM (cls/pos/blocks/LN/proj conversion) is pinned
-        # exactly.
         root = converted["params"] if "params" in converted else converted
-        for mod in ("vis", "nir", "sk", "cp"):
-            pe_ref = getattr(ref.patch_embeds, mod)
-            w = pe_ref.proj.weight.detach().numpy().transpose(2, 3, 1, 0)
-            b = pe_ref.proj.bias.detach().numpy()
-            root["vision"][f"patch_embed_{mod}"]["kernel"] = w.astype(np.float32)
-            root["vision"][f"patch_embed_{mod}"]["bias"] = b.astype(np.float32)
+        _sync_patch_embeds(ref, root["vision"])
         return torch, ref, enc, converted
 
     @pytest.mark.parametrize("modality", ["vis", "nir", "sk", "cp"])
@@ -540,89 +546,65 @@ class TestUnifiedEncoderEndToEndGoldenParity:
         )
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
-    def test_lora_zero_init_matches_reference_exactly(self, pair, rng):
-        """Both sides carry zero-init LoRA B, so modality routing must be a
-        no-op on BOTH at step 0 — divergence here would mean the converter
-        left a non-zero delta somewhere."""
+    def test_lora_zero_init_is_noop_after_conversion(self, pair, rng):
+        """The converter must leave every LoRA delta at zero (B zero-init,
+        reference mer_lora.py:36-38).  Pin it on OUR converted params: with
+        the patch embeds equalized, routing the SAME input through two
+        different modality experts must produce the SAME output — any
+        difference could only come from a non-zero LoRA delta.  (vis and cp
+        are both 3-channel, so vis's patch embed drops into cp's slot.)"""
+        import copy
+
+        import jax
         import jax.numpy as jnp
+
+        from prcv2025reid_tpu.utils.modalities import VISION_MODALITY_ID
 
         torch, ref, enc, params = pair
         imgs = rng.normal(size=(1, self.IMG, self.IMG, 3)).astype(np.float32)
+
+        eq = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+        root = eq["params"] if "params" in eq else eq
+        root["vision"]["patch_embed_cp"] = {
+            k: np.asarray(v).copy()
+            for k, v in root["vision"]["patch_embed_vis"].items()
+        }
+        outs = {
+            m: np.asarray(
+                enc.apply(eq, jnp.asarray(imgs), VISION_MODALITY_ID[m],
+                          method=enc.encode_vision)
+            )
+            for m in ("vis", "cp")
+        }
+        np.testing.assert_allclose(outs["vis"], outs["cp"], rtol=0, atol=1e-6)
+
+        # and the symmetry-breaking patch-embed noise is real on both sides:
+        # sk vs cp outputs differ through their noised patch embeds
         with torch.no_grad():
-            outs = {
+            ref_outs = {
                 m: ref.encode_vision(torch.tensor(imgs.transpose(0, 3, 1, 2)), m).numpy()
                 for m in ("sk", "cp")
             }
-        # sk/cp share the view-grouping but have separate (noised) patch
-        # embeds — the reference outputs must differ (noise) while each
-        # matches ours (previous test); here just pin that the noise is real
-        assert np.abs(outs["sk"] - outs["cp"]).max() > 1e-6
-
-
-class _FP:
-    """Shared dims for the full-model golden-parity fixtures."""
-
-    D_V, L_V, H_V, MLP_V = 64, 2, 4, 128
-    IMG, PATCH = 224, 16
-    D_T, L_T, H_T, MLP_T = 48, 2, 4, 96
-    VOCAB, CTX = 120, 16
-    PROJ = 32
-    C = 5  # id classes
+        assert np.abs(ref_outs["sk"] - ref_outs["cp"]).max() > 1e-6
+        got = {
+            m: np.asarray(
+                enc.apply(params, jnp.asarray(imgs), VISION_MODALITY_ID[m],
+                          method=enc.encode_vision)
+            )
+            for m in ("sk", "cp")
+        }
+        assert np.abs(got["sk"] - got["cp"]).max() > 1e-6
 
 
 @pytest.fixture(scope="module")
 def full_model_pair(tmp_path_factory):
-    torch = pytest.importorskip("torch")
-    pytest.importorskip("transformers")
     from types import SimpleNamespace
 
-    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
-
-    torch.manual_seed(11)
-    cfg = CLIPConfig(
-        text_config=CLIPTextConfig(
-            hidden_size=_FP.D_T, intermediate_size=_FP.MLP_T,
-            num_hidden_layers=_FP.L_T, num_attention_heads=_FP.H_T,
-            vocab_size=_FP.VOCAB, max_position_embeddings=_FP.CTX,
-            projection_dim=_FP.PROJ, eos_token_id=_FP.VOCAB - 1,
-            bos_token_id=_FP.VOCAB - 2,
-        ).to_dict(),
-        vision_config=CLIPVisionConfig(
-            hidden_size=_FP.D_V, intermediate_size=_FP.MLP_V,
-            num_hidden_layers=_FP.L_V, num_attention_heads=_FP.H_V,
-            image_size=_FP.IMG, patch_size=_FP.PATCH,
-            projection_dim=_FP.PROJ,
-        ).to_dict(),
-        projection_dim=_FP.PROJ,
+    torch, ckpt_dir = _build_clip_ckpt(tmp_path_factory, seed=11,
+                                       name="clip_ckpt_full")
+    ref_enc, (model_mod,) = _ref_encoder_from_ckpt(
+        ckpt_dir, extra_modules=("models.model",)
     )
-    clip = CLIPModel(cfg).eval()
-    ckpt_dir = tmp_path_factory.mktemp("clip_ckpt_full")
-    clip.save_pretrained(str(ckpt_dir))
-
-    # --- reference encoder on that checkpoint (tokenizer stubbed) ---
-    sys.path.insert(0, REFERENCE)
-    import importlib
-
-    cb = importlib.import_module("models.clip_backbone")
-    model_mod = importlib.import_module("models.model")
-    sys.path.remove(REFERENCE)
-    orig_tok = cb.CLIPTokenizer
-
-    class _TokStub:
-        @staticmethod
-        def from_pretrained(name):
-            return None
-
-    cb.CLIPTokenizer = _TokStub
-    try:
-        ref_enc = cb.CLIPUnifiedEncoder(
-            clip_model_name=str(ckpt_dir),
-            vision_hidden_dim=_FP.D_V, text_hidden_dim=_FP.D_T,
-            fusion_dim=_FP.PROJ, lora_rank=4, lora_alpha=1.0,
-            drop_path=0.0,
-        ).eval()
-    finally:
-        cb.CLIPTokenizer = orig_tok
 
     # --- reference FULL model around that encoder ---
     ref_cfg = SimpleNamespace(
@@ -688,59 +670,22 @@ def full_model_pair(tmp_path_factory):
     hf = load_hf_state_dict(str(ckpt_dir))
     enc_converted = convert_clip_params(hf, {"params": p["encoder"]}, seed=0)
     p["encoder"] = enc_converted["params"] if "params" in enc_converted else enc_converted
-    for mod in ("vis", "nir", "sk", "cp"):
-        pe = getattr(ref_enc.patch_embeds, mod)
-        p["encoder"]["vision"][f"patch_embed_{mod}"]["kernel"] = (
-            pe.proj.weight.detach().numpy().transpose(2, 3, 1, 0).astype(np.float32)
-        )
-        p["encoder"]["vision"][f"patch_embed_{mod}"]["bias"] = (
-            pe.proj.bias.detach().numpy().astype(np.float32)
-        )
+    _sync_patch_embeds(ref_enc, p["encoder"]["vision"])
 
-    def t(x):
-        return np.asarray(x.detach().numpy(), np.float32)
-
-    # SDM module (mapping as TestSDMModuleGoldenParity)
-    D = _FP.PROJ
-    sdm = ref_model.sdm_module
-    ip_w, ip_b = t(sdm.semantic_attn.in_proj_weight), t(sdm.semantic_attn.in_proj_bias)
-    sp = sdm.semantic_proj
-    p["sdm_module"] = {
-        "v_proj": {"kernel": ip_w[2 * D:].T, "bias": ip_b[2 * D:]},
-        "attn_out_proj": {"kernel": t(sdm.semantic_attn.out_proj.weight).T,
-                          "bias": t(sdm.semantic_attn.out_proj.bias)},
-        "proj1": {"kernel": t(sp[0].weight).T, "bias": t(sp[0].bias)},
-        "proj_ln": {"scale": t(sp[1].weight), "bias": t(sp[1].bias)},
-        "proj2": {"kernel": t(sp[4].weight).T, "bias": t(sp[4].bias)},
-    }
-    # FeatureFusion (mapping as TestFeatureFusionGoldenParity)
-    fus = ref_model.feature_fusion
-    fw, fb = t(fus.multihead_attn.in_proj_weight), t(fus.multihead_attn.in_proj_bias)
-    mlp = fus.mlp
-    p["fusion"] = {
-        "q_proj": {"kernel": fw[:D].T, "bias": fb[:D]},
-        "k_proj": {"kernel": fw[D:2 * D].T, "bias": fb[D:2 * D]},
-        "v_proj": {"kernel": fw[2 * D:].T, "bias": fb[2 * D:]},
-        "out_proj": {"kernel": t(fus.multihead_attn.out_proj.weight).T,
-                     "bias": t(fus.multihead_attn.out_proj.bias)},
-        "norm1": {"scale": t(fus.norm1.weight), "bias": t(fus.norm1.bias)},
-        "norm2": {"scale": t(fus.norm2.weight), "bias": t(fus.norm2.bias)},
-        "mlp_ln": {"scale": t(mlp[0].weight), "bias": t(mlp[0].bias)},
-        "mlp_fc1": {"kernel": t(mlp[1].weight).T, "bias": t(mlp[1].bias)},
-        "mlp_fc2": {"kernel": t(mlp[4].weight).T, "bias": t(mlp[4].bias)},
-    }
-    # BNNeck
+    # submodule weights through the SAME mappings the per-module oracles use
+    p["sdm_module"] = sdm_params_from_ref(ref_model.sdm_module)
+    p["fusion"] = fusion_params_from_ref(ref_model.feature_fusion)
     bn = ref_model.bn_neck
     p["bn_neck"] = {
-        "bn": {"scale": t(bn.bn.weight)},
-        "classifier": {"kernel": t(bn.classifier.weight).T},
+        "bn": {"scale": _t(bn.bn.weight)},
+        "classifier": {"kernel": _t(bn.classifier.weight).T},
     }
     variables["batch_stats"]["bn_neck"] = {
-        "bn": {"mean": t(bn.bn.running_mean), "var": t(bn.bn.running_var)}
+        "bn": {"mean": _t(bn.bn.running_mean), "var": _t(bn.bn.running_var)}
     }
     # null tokens, ours ordered by MODALITIES
     p["null_tokens"] = np.stack(
-        [t(ref_model.null_tokens[m])[0] for m in MODALITIES]
+        [_t(ref_model.null_tokens[m])[0] for m in MODALITIES]
     )
     variables = jax.tree.map(jnp.asarray, variables)
     return torch, ref_model, ours, variables, config

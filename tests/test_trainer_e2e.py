@@ -79,6 +79,41 @@ def test_fit_and_resume(trainer_config):
     assert len(trainer2.eval_history.rows) >= 1
 
 
+def test_eval_cli_split_reconstruction(trainer_config):
+    """The standalone eval CLI defaults to the reference behavior (every
+    identity under dataset_root); --eval_split val reconstructs the
+    trainer's ID-disjoint split from the checkpoint config so the numbers
+    are comparable to training-time eval."""
+    import sys
+
+    trainer = Trainer(trainer_config)
+    trainer.fit()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import eval_mm_protocol
+
+    common = [
+        "--dataset_root", trainer_config.data_root,
+        "--json_file", trainer_config.json_file,
+        "--model_path", os.path.join(trainer_config.save_dir, "latest"),
+        "--cache_dir", trainer_config.eval_cache_dir,
+        "--batch_size", "4",
+    ]
+    r_all = eval_mm_protocol.main(common)
+    r_val = eval_mm_protocol.main(common + ["--eval_split", "val"])
+    for r in (r_all, r_val):
+        assert 0.0 <= r["map_avg2"] <= 1.0
+        assert len(r["detail"]) == 15
+
+    def n_queries(r):
+        return sum(d["num_queries"] for d in r["detail"].values())
+
+    # the reconstructed val split ranks strictly fewer queries than the
+    # full root, and no more than the trainer's own val universe
+    assert n_queries(r_val) < n_queries(r_all)
+    assert (r_val["detail"]["single/nir"]["num_queries"]
+            <= len(trainer.val_ds.records))
+
+
 def test_smoke_test_preserves_sampler_stream(trainer_config):
     """smoke_test must not advance the checkpointable sampler RNG — epoch 1
     sees the exact batch stream it would without the smoke test."""
