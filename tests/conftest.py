@@ -44,6 +44,32 @@ def rng():
     return np.random.default_rng(0)
 
 
+# Tiny ViT dims shared by the per-file TINY configs (single authority: a
+# numerics-relevant change here reaches every test file; files override via
+# {**TINY_BASE, ...}).
+TINY_BASE = dict(
+    gradient_accumulation_steps=1,  # defeat auto-accum: tests assert per-step updates
+    vision_hidden_dim=64,
+    vision_layers=2,
+    vision_heads=4,
+    vision_mlp_dim=128,
+    text_hidden_dim=32,
+    text_layers=2,
+    text_heads=4,
+    text_mlp_dim=64,
+    text_vocab_size=100,
+    text_context_length=16,
+    image_size=32,
+    fusion_dim=32,
+    sdm_semantic_dim=32,
+    sdm_num_heads=4,
+    fusion_num_heads=4,
+    compute_dtype="float32",
+    use_pallas_attention=False,
+    drop_path=0.0,
+)
+
+
 # promoted into the package (round 3) so __graft_entry__'s submission-export
 # dry run can build a dataset too; re-exported here because the verify-skill
 # drive recipes do `from conftest import make_synthetic_orbench`

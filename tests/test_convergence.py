@@ -12,26 +12,11 @@ from prcv2025reid_tpu.configs import TrainingConfig
 from prcv2025reid_tpu.data.dataset import MultiModalDataset
 from prcv2025reid_tpu.evaluation.protocol import evaluate_protocol
 
+from conftest import TINY_BASE
+
 TINY = dict(
-    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
-    vision_hidden_dim=32,
-    vision_layers=2,
-    vision_heads=4,
-    vision_mlp_dim=64,
-    text_hidden_dim=32,
-    text_layers=1,
-    text_heads=4,
-    text_mlp_dim=64,
-    text_vocab_size=100,
-    text_context_length=16,
-    image_size=32,
-    fusion_dim=32,
-    sdm_semantic_dim=32,
-    sdm_num_heads=4,
-    fusion_num_heads=4,
-    compute_dtype="float32",
-    use_pallas_attention=False,
-    drop_path=0.0,
+    **{**TINY_BASE, "vision_hidden_dim": 32, "vision_mlp_dim": 64,
+       "text_layers": 1},
     dropout_rate=0.0,
     fusion_dropout=0.0,
     modality_dropout=0.0,

@@ -130,27 +130,9 @@ class TestPlans:
         assert len(kept2) == 6
 
 
-TINY = dict(
-    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
-    vision_hidden_dim=64,
-    vision_layers=2,
-    vision_heads=4,
-    vision_mlp_dim=128,
-    text_hidden_dim=32,
-    text_layers=2,
-    text_heads=4,
-    text_mlp_dim=64,
-    text_vocab_size=100,
-    text_context_length=16,
-    image_size=32,
-    fusion_dim=32,
-    sdm_semantic_dim=32,
-    sdm_num_heads=4,
-    fusion_num_heads=4,
-    compute_dtype="float32",
-    use_pallas_attention=False,
-    drop_path=0.0,
-)
+from conftest import TINY_BASE
+
+TINY = dict(TINY_BASE)
 
 
 @pytest.fixture(scope="module")
@@ -201,17 +183,28 @@ class TestProtocol:
     def test_gallery_cache_roundtrip(self, eval_setup, tmp_path):
         config, ds, variables, embed, tok = eval_setup
         cache = GalleryCache(str(tmp_path), "t1")
+        calls = {"n": 0}
+
+        def counting_embed(variables, batch):
+            calls["n"] += 1
+            return embed(variables, batch)
+
         out1 = evaluate_protocol(
-            embed, variables, ds, tok, batch_size=4,
+            counting_embed, variables, ds, tok, batch_size=4,
             include_patterns=["single/nir"], cache=cache,
         )
-        # second run must hit the cache (same values)
+        first_run_calls = calls["n"]
+        # second run must ACTUALLY hit the cache: same values, and the
+        # gallery embed batches never run again (only the query embeds do)
         out2 = evaluate_protocol(
-            embed, variables, ds, tok, batch_size=4,
+            counting_embed, variables, ds, tok, batch_size=4,
             include_patterns=["single/nir"], cache=cache,
         )
         assert out1["detail"]["single/nir"]["mAP"] == pytest.approx(
             out2["detail"]["single/nir"]["mAP"]
+        )
+        assert calls["n"] - first_run_calls < first_run_calls, (
+            "second run re-embedded the gallery — cache load missed"
         )
         assert any(f.startswith("gallery_t1") for f in os.listdir(tmp_path))
 

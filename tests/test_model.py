@@ -13,27 +13,9 @@ from prcv2025reid_tpu.models.reid_model import (
     compute_loss,
 )
 
-TINY = dict(
-    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
-    vision_hidden_dim=64,
-    vision_layers=2,
-    vision_heads=4,
-    vision_mlp_dim=128,
-    text_hidden_dim=32,
-    text_layers=2,
-    text_heads=4,
-    text_mlp_dim=64,
-    text_vocab_size=100,
-    text_context_length=16,
-    image_size=32,
-    fusion_dim=32,
-    sdm_semantic_dim=32,
-    sdm_num_heads=4,
-    fusion_num_heads=4,
-    compute_dtype="float32",
-    use_pallas_attention=False,
-    drop_path=0.1,
-)
+from conftest import TINY_BASE
+
+TINY = {**TINY_BASE, "drop_path": 0.1}
 
 
 @pytest.fixture(scope="module")

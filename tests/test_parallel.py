@@ -18,27 +18,9 @@ from prcv2025reid_tpu.parallel.ranking import sharded_topk, topk_reference
 from prcv2025reid_tpu.training.param_groups import build_optimizer
 from prcv2025reid_tpu.training.train_step import TrainState, make_train_step
 
-TINY = dict(
-    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
-    vision_hidden_dim=64,
-    vision_layers=2,
-    vision_heads=4,
-    vision_mlp_dim=128,
-    text_hidden_dim=32,
-    text_layers=2,
-    text_heads=4,
-    text_mlp_dim=64,
-    text_vocab_size=100,
-    text_context_length=16,
-    image_size=32,
-    fusion_dim=32,
-    sdm_semantic_dim=32,
-    sdm_num_heads=4,
-    fusion_num_heads=4,
-    compute_dtype="float32",
-    use_pallas_attention=False,
-    drop_path=0.0,
-)
+from conftest import TINY_BASE
+
+TINY = dict(TINY_BASE)
 
 
 class TestMesh:
@@ -78,6 +60,8 @@ class TestShardedTopK:
         scores, idx = sharded_topk(jnp.asarray(q), jnp.asarray(g), 5, mesh)
         ref_scores, ref_idx = topk_reference(q, g, 5)
         np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        # gallery-padding sentinels must not leak into the returned scores
+        np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=1e-5)
 
     def test_tie_break_prefers_lower_index(self):
         mesh = create_mesh()

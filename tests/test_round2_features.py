@@ -191,10 +191,10 @@ class TestPairCoverageInGraph:
         assert float(batch_pair_coverage(pids, img, txt)) == 1.0
 
     def test_padding_rows_do_not_deflate(self):
-        """Multi-host padding rows (pad_batch_to: pid 0, all-zero masks) must
-        not register as a phantom uncovered identity on either the in-graph
-        or the host coverage."""
-        pids = np.asarray([1, 1, 2, 2, 0, 0], np.int32)  # last 2 = padding
+        """Multi-host padding rows (pad_batch_to: pid/label -1, all-zero
+        masks — parallel/mesh.py) must not register as a phantom uncovered
+        identity on either the in-graph or the host coverage."""
+        pids = np.asarray([1, 1, 2, 2, -1, -1], np.int32)  # last 2 = padding
         img = np.asarray(
             [[1, 0, 0, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0],
              [0, 0, 0, 0], [0, 0, 0, 0]], np.float32)

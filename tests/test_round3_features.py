@@ -80,13 +80,28 @@ class TestGalleryCacheEviction:
         assert not any("tag0" in f for f in left)
 
     def test_current_tag_always_survives(self, tmp_path):
+        """The just-written file must survive eviction even when it is NOT
+        among the keep_newest by mtime (the protect clause in _evict)."""
         from prcv2025reid_tpu.evaluation.protocol import GalleryCache
 
         feats = np.ones((2, 4), np.float32)
         pids = np.arange(2)
         cache = GalleryCache(str(tmp_path), "mine", keep_newest=1)
         cache.save([0, 1], feats, pids)
+        # plant a NEWER competing file directly (no save -> no eviction pass)
+        # and back-date ours, so ours falls beyond keep_newest=1 by mtime
+        other_path = os.path.join(str(tmp_path), "gallery_other_2_x.npz")
+        np.savez(other_path, feats=feats, pids=pids)
+        os.utime(cache._path([0, 1]), (1_000_000, 1_000_000))
+        os.utime(other_path, (2_000_000, 2_000_000))
+        cache._evict(protect=cache._path([0, 1]))
+        # ours is the eviction candidate (oldest, beyond keep_newest) but the
+        # protect clause keeps it; the newer file stays within keep_newest
         assert cache.load([0, 1]) is not None
+        assert os.path.exists(other_path)
+        # sanity: without protection pointing at it, the oldest file goes
+        cache._evict(protect=other_path)
+        assert cache.load([0, 1]) is None
 
 
 # ----- ADVICE r2: grad through int8 kernels must raise, not silently zero ----
@@ -552,11 +567,19 @@ class TestToolchainWatchParsing:
         )
         tw = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(tw)
-        # the exact stdout format of perf_microbench.timed()
-        line = "             XLA int8 matmul:   146.23 TOP/s  (30 iters, 119.0 GFLOP/iter)"
-        label, _, rest = line.partition(":")
-        assert tw._PROBE_LABELS[label.strip()] == "xla_int8"
-        assert float(rest.split()[0]) == 146.23
+        # the exact stdout format of perf_microbench.timed(), through the
+        # REAL parser run_probes uses
+        text = (
+            "some unrelated: line\n"
+            "             XLA int8 matmul:   146.23 TOP/s  (30 iters, 119.0 GFLOP/iter)\n"
+            "           Pallas bf16 matmul:    81.05 TFLOP/s  (30 iters)\n"
+            "          XLA bf16 matmul: not-a-number\n"
+        )
+        out = tw.parse_probe_stdout(text)
+        assert out["xla_int8"] == pytest.approx(146.23e12)
+        assert out["pallas_bf16"] == pytest.approx(81.05e12)
+        assert out["xla_bf16"] is None  # malformed reading -> miss, not crash
+        assert out["pallas_int8"] is None  # absent probe
 
     def test_changed_probe_requires_reproduction(self):
         """A single noisy excursion outside tolerance must be re-measured;

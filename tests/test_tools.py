@@ -11,27 +11,9 @@ from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
 from prcv2025reid_tpu.tools.diagnose import activation_report, summarize
 from prcv2025reid_tpu.utils.profiling import StepTimer, cost_summary
 
-TINY = dict(
-    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
-    vision_hidden_dim=64,
-    vision_layers=2,
-    vision_heads=4,
-    vision_mlp_dim=128,
-    text_hidden_dim=32,
-    text_layers=2,
-    text_heads=4,
-    text_mlp_dim=64,
-    text_vocab_size=100,
-    text_context_length=16,
-    image_size=32,
-    fusion_dim=32,
-    sdm_semantic_dim=32,
-    sdm_num_heads=4,
-    fusion_num_heads=4,
-    compute_dtype="float32",
-    use_pallas_attention=False,
-    drop_path=0.0,
-)
+from conftest import TINY_BASE
+
+TINY = dict(TINY_BASE)
 
 
 class TestDiagnose:

@@ -8,36 +8,20 @@ import pytest
 from prcv2025reid_tpu.configs import TrainingConfig
 from prcv2025reid_tpu.training.trainer import Trainer
 
-TINY = dict(
-    gradient_accumulation_steps=1,  # defeat auto-accum: these tests assert per-step updates
-    vision_hidden_dim=64,
-    vision_layers=2,
-    vision_heads=4,
-    vision_mlp_dim=128,
-    text_hidden_dim=32,
-    text_layers=2,
-    text_heads=4,
-    text_mlp_dim=64,
-    text_vocab_size=100,
-    text_context_length=16,
-    image_size=32,
-    fusion_dim=32,
-    sdm_semantic_dim=32,
-    sdm_num_heads=4,
-    fusion_num_heads=4,
-    compute_dtype="float32",
-    use_pallas_attention=False,
-    drop_path=0.0,
-    num_epochs=2,
-    warmup_epochs=1,
-    num_ids_per_batch=2,
-    instances_per_id=2,
-    steps_per_epoch=3,
-    num_workers=0,
-    eval_sample_ratio=1.0,
-    eval_batch_size=4,
-    save_freq=50,
-)
+from conftest import TINY_BASE
+
+TINY = {
+    **TINY_BASE,
+    "num_epochs": 2,
+    "warmup_epochs": 1,
+    "num_ids_per_batch": 2,
+    "instances_per_id": 2,
+    "steps_per_epoch": 3,
+    "num_workers": 0,
+    "eval_sample_ratio": 1.0,
+    "eval_batch_size": 4,
+    "save_freq": 50,
+}
 
 
 @pytest.fixture()

@@ -50,6 +50,24 @@ _PROBE_LABELS = {
 }
 
 
+def parse_probe_stdout(text: str) -> dict:
+    """perf_microbench stdout -> {probe: value or None} (values in FLOP/s;
+    timed() prints best/1e12, hence the 1e12 rescale)."""
+    results = {name: None for name in RECORDED}
+    for line in text.splitlines():
+        if ":" not in line:
+            continue
+        label, _, rest = line.partition(":")
+        key = _PROBE_LABELS.get(label.strip())
+        if key is None:
+            continue
+        try:
+            results[key] = float(rest.split()[0]) * 1e12
+        except (ValueError, IndexError):
+            pass
+    return results
+
+
 def run_probes():
     """Run the roofline probes in a SUBPROCESS and parse their stdout — the
     parent must never initialize the TPU client, because the bench step
@@ -64,19 +82,7 @@ def run_probes():
     sys.stdout.write(proc.stdout)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr)
-    results = {name: None for name in RECORDED}
-    for line in proc.stdout.splitlines():
-        if ":" not in line:
-            continue
-        label, _, rest = line.partition(":")
-        key = _PROBE_LABELS.get(label.strip())
-        if key is None:
-            continue
-        try:
-            results[key] = float(rest.split()[0]) * 1e12
-        except (ValueError, IndexError):
-            pass
-    return results
+    return parse_probe_stdout(proc.stdout)
 
 
 def confirm_probes(probes, run_again):
