@@ -189,6 +189,70 @@ def test_bad_requests(served):
     assert code == 400 and "list" in body["error"]
     code, body = _post(url + "/embed", {"images_b64": ["!!notbase64"]})
     assert code == 400
+    # /search without a loaded gallery is a clear 404, not a crash
+    code, body = _post(url + "/search", {"texts": ["x"]})
+    assert code == 404 and "serve_gallery" in body["error"]
     # server survives all of that
     with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+@pytest.fixture(scope="module")
+def search_served(served, tmp_path_factory):
+    """A second server over the SAME engine with a gallery of 5 known nir
+    embeddings loaded for /search."""
+    import serve_embed
+
+    url, engine, config = served
+    embed_pils, _, _ = engine
+    imgs = [
+        Image.fromarray(
+            (np.random.default_rng(i).random((48, 32, 3)) * 255).astype(np.uint8)
+        )
+        for i in range(5)
+    ]
+    feats = embed_pils(imgs, "nir")
+    gpath = tmp_path_factory.mktemp("gallery") / "g.npz"
+    np.savez(gpath, features=feats, ids=np.asarray([f"g{i}" for i in range(5)]))
+    gfeats, gids = serve_embed.load_gallery(str(gpath))
+    searcher = serve_embed.make_searcher(gfeats, gids)
+    srv = serve_embed.make_server(0, "127.0.0.1", config, engine,
+                                  searcher=searcher, gallery_size=len(gids))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    surl = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield surl, imgs, feats
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_search_returns_self_as_top1(search_served):
+    surl, imgs, feats = search_served
+    # query with gallery images 2 and 0 themselves: top-1 must be themselves
+    b64s = []
+    for i in (2, 0):
+        buf = io.BytesIO()
+        imgs[i].save(buf, "PNG")  # lossless: identical pixels -> identical feats
+        b64s.append(base64.b64encode(buf.getvalue()).decode())
+    code, body = _post(surl + "/search",
+                       {"images_b64": b64s, "modality": "nir", "top_k": 3})
+    assert code == 200 and body["count"] == 2
+    assert [r[0]["id"] for r in body["results"]] == ["g2", "g0"]
+    for row in body["results"]:
+        assert len(row) == 3
+        assert row[0]["score"] == pytest.approx(1.0, abs=1e-3)
+        scores = [e["score"] for e in row]
+        assert scores == sorted(scores, reverse=True)
+
+    # top_k clamps to the gallery size instead of failing
+    code, body = _post(surl + "/search",
+                       {"texts": ["a person"], "top_k": 100})
+    assert code == 200 and len(body["results"][0]) == 5
+
+    # gallery size shows up in health
+    with urllib.request.urlopen(surl + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["gallery_size"] == 5
+
+    # invalid top_k is a 400
+    code, body = _post(surl + "/search", {"texts": ["x"], "top_k": "ten"})
+    assert code == 400 and "top_k" in body["error"]

@@ -14,6 +14,8 @@ Usage:
     python tools/serve_embed.py --model_path ... --text captions.txt --out t.npz
     python tools/serve_embed.py --model_path ... --benchmark  # embeds/s
     python tools/serve_embed.py --model_path ... --serve 8787  # HTTP server
+    python tools/serve_embed.py --model_path ... --serve 8787 \
+        --serve_gallery feats.npz  # + retrieval endpoint over that gallery
 
 HTTP API (``--serve PORT``):
     GET  /healthz             -> {"status": "ok", "fusion_dim": ..., ...}
@@ -21,6 +23,10 @@ HTTP API (``--serve PORT``):
         body {"texts": ["caption", ...]}                       (text tower)
         body {"images_b64": ["<base64 jpeg/png>", ...],
               "modality": "vis"|"nir"|"sk"|"cp"}               (vision)
+    POST /search              -> {"results": [[{"id", "score"}, ...]], ...}
+        same body as /embed + optional "top_k" (default 10) — ranks the
+        queries against the --serve_gallery features by cosine (the MM
+        protocol's ranking rule) on device
 """
 import argparse
 import glob as globlib
@@ -246,7 +252,58 @@ class MicroBatcher:
                 off += len(it)
 
 
-def make_server(port, host, config, engine, batch_items=None):
+def load_gallery(path):
+    """A features .npz as written by --out -> (feats [G, D] f32, ids [G]).
+
+    Features are re-normalized defensively — ranking assumes unit vectors
+    (cosine == dot), and an externally produced npz may not be normalized."""
+    import numpy as np
+
+    z = np.load(path, allow_pickle=False)
+    feats = np.asarray(z["features"], np.float32)
+    ids = [str(x) for x in z["ids"]]
+    if feats.ndim != 2 or feats.shape[0] != len(ids):
+        raise ValueError(
+            f"gallery npz malformed: features {feats.shape} vs {len(ids)} ids"
+        )
+    feats /= np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+    return feats, ids
+
+
+def make_searcher(gallery_feats, gallery_ids):
+    """-> search(query_feats [N, D], top_k) = [N] lists of (id, score).
+
+    One jitted Q@G^T + lax.top_k per top_k value (static shapes; repeated
+    top_k values reuse the compiled graph)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    g = jnp.asarray(gallery_feats)  # [G, D], unit rows
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _topk(q, k):
+        return jax.lax.top_k(q @ g.T, k)
+
+    def search(query_feats, top_k):
+        k = max(1, min(int(top_k), g.shape[0]))
+        scores, idx = _topk(jnp.asarray(query_feats, jnp.float32), k)
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        return [
+            [
+                {"id": gallery_ids[int(j)], "score": float(s)}
+                for j, s in zip(row_i, row_s)
+            ]
+            for row_i, row_s in zip(idx, scores)
+        ]
+
+    return search
+
+
+def make_server(port, host, config, engine, batch_items=None, searcher=None,
+                gallery_size=0):
     """Build (without starting) the HTTP embedding server — see the module
     docstring for the API.  Concurrent requests coalesce into shared device
     batches via :class:`MicroBatcher` (concurrency belongs in the batch
@@ -309,13 +366,18 @@ def make_server(port, host, config, engine, batch_items=None):
                     "image_size": config.image_size,
                     "batch_dispatches": batcher.dispatches,
                     "batch_requests": batcher.requests,
+                    "gallery_size": gallery_size,
                 })
             else:
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/embed":
+            if self.path not in ("/embed", "/search"):
                 self._send(404, {"error": "unknown path"})
+                return
+            if self.path == "/search" and searcher is None:
+                self._send(404, {"error": "no gallery loaded — start the "
+                                 "server with --serve_gallery feats.npz"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -327,10 +389,19 @@ def make_server(port, host, config, engine, batch_items=None):
                     if not isinstance(req, dict):
                         raise BadRequest("body must be a JSON object")
                     key, items = _parse(req)
+                    top_k = req.get("top_k", 10)
+                    if self.path == "/search" and not (
+                        isinstance(top_k, int) and top_k >= 1
+                    ):
+                        raise BadRequest("'top_k' must be a positive integer")
                 except (BadRequest, json.JSONDecodeError, UnicodeDecodeError) as e:
                     self._send(400, {"error": str(e)})
                     return
                 feats = batcher.submit(key, items).result()
+                if self.path == "/search":
+                    self._send(200, {"results": searcher(feats, top_k),
+                                     "count": int(feats.shape[0])})
+                    return
                 self._send(200, {"embeddings": feats.tolist(),
                                  "count": int(feats.shape[0])})
             except BrokenPipeError:
@@ -362,13 +433,26 @@ def warmup_engine(config, engine, modalities=None):
     embed_texts([""])
 
 
-def run_server(port, host, config, engine, warmup="all"):
+def run_server(port, host, config, engine, warmup="all", gallery_path=None):
+    searcher, gallery_size = None, 0
+    if gallery_path:
+        feats, ids = load_gallery(gallery_path)
+        if feats.shape[1] != config.fusion_dim:
+            raise SystemExit(
+                f"gallery feature dim {feats.shape[1]} != checkpoint "
+                f"fusion_dim {config.fusion_dim} — wrong gallery/checkpoint "
+                "pairing"
+            )
+        searcher, gallery_size = make_searcher(feats, ids), len(ids)
+        logging.info("gallery loaded: %d x %d features", *feats.shape)
     if warmup != "none":
         logging.info("warming serving graphs (all modalities + text)...")
         warmup_engine(config, engine)
-    srv = make_server(port, host, config, engine)
+    srv = make_server(port, host, config, engine, searcher=searcher,
+                      gallery_size=gallery_size)
     print(json.dumps({"serving": True, "host": host,
-                      "port": srv.server_address[1]}), flush=True)
+                      "port": srv.server_address[1],
+                      "gallery_size": gallery_size}), flush=True)
     srv.serve_forever()
 
 
@@ -414,6 +498,11 @@ def main(argv=None):
     )
     ap.add_argument("--serve_host", default="127.0.0.1",
                     help="bind address for --serve (loopback by default)")
+    ap.add_argument(
+        "--serve_gallery", default=None, metavar="FEATS_NPZ",
+        help="features .npz (from a prior --images/--out run) to rank "
+        "against — enables POST /search",
+    )
     ap.add_argument("--warmup", default="all", choices=("all", "none"),
                     help="compile all serving graphs before announcing "
                     "readiness (--serve only)")
@@ -444,7 +533,7 @@ def main(argv=None):
 
     if args.serve is not None:
         run_server(args.serve, args.serve_host, config, engine,
-                   warmup=args.warmup)
+                   warmup=args.warmup, gallery_path=args.serve_gallery)
         return
 
     def embed_images(paths):
