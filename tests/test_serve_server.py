@@ -83,7 +83,8 @@ def test_healthz(served):
 
 
 def test_embed_images_matches_engine(served):
-    url, (embed_pils, _, _), config = served
+    url, engine, config = served
+    embed_pils = engine.embed_pils
     b64s = [_jpeg_b64(0), _jpeg_b64(1), _jpeg_b64(2)]
     code, body = _post(url + "/embed", {"images_b64": b64s, "modality": "nir"})
     assert code == 200 and body["count"] == 3
@@ -99,12 +100,111 @@ def test_embed_images_matches_engine(served):
 
 
 def test_embed_texts(served):
-    url, (_, embed_texts, _), config = served
+    url, engine, config = served
+    embed_texts = engine.embed_texts
     code, body = _post(url + "/embed", {"texts": ["a person", "red coat"]})
     assert code == 200 and body["count"] == 2
     feats = np.asarray(body["embeddings"], np.float32)
     direct = embed_texts(["a person", "red coat"])
     np.testing.assert_allclose(feats, direct, rtol=1e-4, atol=1e-4)
+
+
+def test_embed_queries_matches_singles_and_direct_model(served):
+    """Combo queries: single-modality dicts must agree with the dedicated
+    single-modality entry points; a multi-modal dict must match a direct
+    (unjitted) encode_subset oracle built from the same deterministic init;
+    mixed combos in one call come back in input order."""
+    import jax.numpy as jnp
+
+    from prcv2025reid_tpu.configs import TrainingConfig
+    from prcv2025reid_tpu.data.augment import ImageTransform
+    from prcv2025reid_tpu.data.tokenizer import build_tokenizer
+    from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+    _, engine, config = served
+    img = Image.open(io.BytesIO(base64.b64decode(_jpeg_b64(7))))
+    caption = "a person in a red coat"
+
+    q_nir = {"nir": img}
+    q_text = {"text": caption}
+    q_combo = {"nir": img, "text": caption}
+    feats = engine.embed_queries([q_combo, q_nir, q_text])
+    assert feats.shape == (3, config.fusion_dim)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-3)
+
+    # rows come back in input order: singles equal their dedicated paths
+    np.testing.assert_allclose(
+        feats[1], engine.embed_pils([img], "nir")[0], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        feats[2], engine.embed_texts([caption])[0], rtol=1e-4, atol=1e-4
+    )
+    # the combo is a genuine fusion, not either single
+    assert np.abs(feats[0] - feats[1]).max() > 1e-3
+    assert np.abs(feats[0] - feats[2]).max() > 1e-3
+
+    # direct oracle: rebuild the same model (deterministic PRNGKey(0) init,
+    # same as the fixture) and run encode_subset on a hand-built 1-row batch
+    model = MultiModalReIDModel(config=TrainingConfig(**TINY), num_classes=3)
+    Mv, S = len(config.vision_modalities), config.image_size
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, Mv, S, S, 3), jnp.float32),
+        jnp.ones((2, Mv), jnp.float32),
+        jnp.zeros((2, config.text_context_length), jnp.int32),
+        jnp.ones((2,), jnp.float32),
+        train=False,
+    )
+    tf = ImageTransform(image_size=S, train=False)
+    tok = build_tokenizer(
+        config.tokenizer_vocab_path,
+        config.text_vocab_size,
+        config.text_context_length,
+    )
+    imgs = np.zeros((1, Mv, S, S, 3), np.float32)
+    imask = np.zeros((1, Mv), np.float32)
+    slot = list(config.vision_modalities).index("nir")
+    imgs[0, slot] = tf(img.convert("RGB"))
+    imask[0, slot] = 1.0
+    raw = model.apply(
+        variables,
+        jnp.asarray(imgs),
+        jnp.asarray(imask),
+        jnp.asarray(tok([caption]).astype(np.int32)),
+        jnp.ones((1,), jnp.float32),
+        ("nir", "text"),
+        method=model.encode_subset,
+    )
+    oracle = np.array(raw, np.float32)
+    oracle /= np.linalg.norm(oracle, axis=1, keepdims=True)
+    np.testing.assert_allclose(feats[0], oracle[0], rtol=1e-3, atol=1e-3)
+
+
+def test_embed_queries_http(served):
+    url, engine, config = served
+    code, body = _post(url + "/embed", {"queries": [
+        {"nir": _jpeg_b64(3), "text": "blue jacket"},
+        {"sk": _jpeg_b64(4)},
+    ]})
+    assert code == 200 and body["count"] == 2
+    feats = np.asarray(body["embeddings"], np.float32)
+    assert feats.shape == (2, config.fusion_dim)
+    img3 = Image.open(io.BytesIO(base64.b64decode(_jpeg_b64(3))))
+    img4 = Image.open(io.BytesIO(base64.b64decode(_jpeg_b64(4))))
+    direct = engine.embed_queries(
+        [{"nir": img3, "text": "blue jacket"}, {"sk": img4}]
+    )
+    np.testing.assert_allclose(feats, direct, rtol=1e-4, atol=1e-4)
+
+    # malformed combo queries are clean 400s, not crashes
+    code, body = _post(url + "/embed", {"queries": [{"bogus": _jpeg_b64()}]})
+    assert code == 400 and "bogus" in body["error"]
+    code, body = _post(url + "/embed", {"queries": [{}]})
+    assert code == 400
+    code, body = _post(url + "/embed", {"queries": "not-a-list"})
+    assert code == 400 and "list" in body["error"]
+    code, body = _post(url + "/embed", {"queries": [{"nir": "!!notb64"}]})
+    assert code == 400 and "nir" in body["error"]
 
 
 def test_microbatcher_coalesces_deterministically():
@@ -156,7 +256,8 @@ def test_microbatcher_coalesces_deterministically():
 
 
 def test_concurrent_requests_match_sequential(served):
-    url, (_, embed_texts, _), config = served
+    url, engine, config = served
+    embed_texts = engine.embed_texts
     texts = [f"person number {i}" for i in range(6)]
     results = {}
 
@@ -204,7 +305,7 @@ def search_served(served, tmp_path_factory):
     import serve_embed
 
     url, engine, config = served
-    embed_pils, _, _ = engine
+    embed_pils = engine.embed_pils
     imgs = [
         Image.fromarray(
             (np.random.default_rng(i).random((48, 32, 3)) * 255).astype(np.uint8)
@@ -256,3 +357,23 @@ def test_search_returns_self_as_top1(search_served):
     # invalid top_k is a 400
     code, body = _post(surl + "/search", {"texts": ["x"], "top_k": "ten"})
     assert code == 400 and "top_k" in body["error"]
+
+
+def test_search_accepts_combo_queries(search_served):
+    surl, imgs, feats = search_served
+    buf = io.BytesIO()
+    imgs[1].save(buf, "PNG")  # lossless: nir-only combo == gallery feature
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    code, body = _post(
+        surl + "/search",
+        {"queries": [{"nir": b64}, {"nir": b64, "text": "a person"}],
+         "top_k": 2},
+    )
+    assert code == 200 and body["count"] == 2
+    # nir-only query IS gallery image 1 -> exact self-match through the
+    # combo-graph path too
+    assert body["results"][0][0]["id"] == "g1"
+    assert body["results"][0][0]["score"] == pytest.approx(1.0, abs=1e-3)
+    for row in body["results"]:
+        scores = [e["score"] for e in row]
+        assert scores == sorted(scores, reverse=True) and len(row) == 2

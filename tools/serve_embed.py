@@ -23,6 +23,9 @@ HTTP API (``--serve PORT``):
         body {"texts": ["caption", ...]}                       (text tower)
         body {"images_b64": ["<base64 jpeg/png>", ...],
               "modality": "vis"|"nir"|"sk"|"cp"}               (vision)
+        body {"queries": [{"nir": "<b64>", "sk": "<b64>",
+              "text": "caption"}, ...]}          (MM-2/3/4 combo queries,
+              each fused through the combo graph of its own modality set)
     POST /search              -> {"results": [[{"id", "score"}, ...]], ...}
         same body as /embed + optional "top_k" (default 10) — ranks the
         queries against the --serve_gallery features by cosine (the MM
@@ -84,12 +87,20 @@ def _load_model(model_path, block_impl=None, attn_backend=None, gelu_impl=None):
     return config, model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
+import collections
+
+Engine = collections.namedtuple(
+    "Engine", ["embed_pils", "embed_texts", "embed_paths", "embed_queries"]
+)
+
+
 def make_engine(config, model, variables, batch_size):
-    """Batch embedding callables over a loaded model:
-    ``(embed_pils(images, modality), embed_texts(captions),
-    embed_paths(paths, modality))`` — each returns L2-normalized fp32
-    [N, fusion_dim].  Combo graphs compile once per modality and are reused
-    across calls (the serving hot loop)."""
+    """Batch embedding callables over a loaded model (an ``Engine``
+    namedtuple): ``embed_pils(images, modality)``, ``embed_texts(captions)``,
+    ``embed_paths(paths, modality)``, and ``embed_queries(query_dicts)`` for
+    multi-modal MM-2/3/4 combo queries — each returns L2-normalized fp32
+    [N, fusion_dim].  Combo graphs compile once per modality set and are
+    reused across calls (the serving hot loop)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -147,7 +158,7 @@ def make_engine(config, model, variables, batch_size):
 
     tokenizer_box = []
 
-    def embed_texts(captions):
+    def _tokenizer():
         from prcv2025reid_tpu.data.tokenizer import build_tokenizer
 
         if not tokenizer_box:
@@ -158,7 +169,10 @@ def make_engine(config, model, variables, batch_size):
                     config.text_context_length,
                 )
             )
-        tokenizer = tokenizer_box[0]
+        return tokenizer_box[0]
+
+    def embed_texts(captions):
+        tokenizer = _tokenizer()
         fn = _fn(("text",))
         feats = []
         for start in range(0, len(captions), B):
@@ -176,7 +190,51 @@ def make_engine(config, model, variables, batch_size):
             feats.append(np.asarray(fn(variables, batch))[:n])
         return np.concatenate(feats) if feats else _empty()
 
-    return embed_pils, embed_texts, embed_paths
+    def embed_queries(query_dicts):
+        """Multi-modal combo queries, each ``{"vis"/"nir"/"sk"/"cp":
+        PIL.Image, "text": str}`` — the MM-2/3/4 protocol query shape.  Each
+        row embeds through the fused combo graph of its OWN modality set
+        (model.encode_subset semantics, one graph per distinct combo);
+        returns [N, fusion_dim] in input order."""
+        out = np.zeros((len(query_dicts), config.fusion_dim), np.float32)
+        by_combo = {}
+        for i, q in enumerate(query_dicts):
+            mods = tuple(
+                m for m in (*config.vision_modalities, "text") if m in q
+            )
+            if not mods:
+                raise ValueError("query dict has no known modality keys")
+            by_combo.setdefault(mods, []).append(i)
+        tokenizer = _tokenizer()
+        for mods, rows in by_combo.items():
+            fn = _fn(mods)
+            for start in range(0, len(rows), B):
+                chunk = rows[start : start + B]
+                imgs = np.zeros((B, Mv, S, S, 3), np.float32)
+                imask = np.zeros((B, Mv), np.float32)
+                texts = [""] * B
+                tmask = np.zeros((B,), np.float32)
+                for bi, ri in enumerate(chunk):
+                    q = query_dicts[ri]
+                    for mi, mod in enumerate(config.vision_modalities):
+                        if mod in q:
+                            imgs[bi, mi] = tf(q[mod].convert("RGB"))
+                            imask[bi, mi] = 1.0
+                    if "text" in q:
+                        texts[bi] = str(q["text"])
+                        tmask[bi] = 1.0
+                batch = {
+                    "images": jnp.asarray(imgs),
+                    "image_mask": jnp.asarray(imask),
+                    "text_tokens": jnp.asarray(tokenizer(texts).astype(np.int32)),
+                    "text_mask": jnp.asarray(tmask),
+                }
+                out[np.asarray(chunk)] = np.asarray(fn(variables, batch))[
+                    : len(chunk)
+                ]
+        return out
+
+    return Engine(embed_pils, embed_texts, embed_paths, embed_queries)
 
 
 class MicroBatcher:
@@ -197,7 +255,9 @@ class MicroBatcher:
         from concurrent.futures import Future
 
         self._Future = Future
-        self._embed_pils, self._embed_texts, _ = engine
+        self._embed_pils = engine[0]
+        self._embed_texts = engine[1]
+        self._embed_queries = engine[3] if len(engine) > 3 else None
         self._q = queuelib.Queue()
         self._empty = queuelib.Empty
         self._max = max(1, max_items)
@@ -216,6 +276,9 @@ class MicroBatcher:
     def _call(self, key, items):
         if key[0] == "texts":
             return self._embed_texts(items)
+        if key[0] == "queries":
+            # mixed combos coalesce fine: embed_queries groups by combo
+            return self._embed_queries(items)
         return self._embed_pils(items, key[1])
 
     def _run(self):
@@ -346,7 +409,41 @@ def make_server(port, host, config, engine, batch_items=None, searcher=None,
             except Exception as e:
                 raise BadRequest(f"undecodable image: {e}") from e
             return ("images", mod), imgs
-        raise BadRequest("body needs 'texts' or 'images_b64'")
+        if "queries" in req:
+            # multi-modal combo queries (MM-2/3/4): each entry is
+            # {"nir": "<b64>", "sk": "<b64>", ..., "text": "caption"}
+            if not isinstance(req["queries"], list):
+                raise BadRequest("'queries' must be a JSON list of objects")
+            parsed = []
+            for q in req["queries"]:
+                if not isinstance(q, dict) or not q:
+                    raise BadRequest(
+                        "each query must be a non-empty object of "
+                        f"modality->payload; modalities: {valid_mods + ('text',)}"
+                    )
+                d = {}
+                for k, v in q.items():
+                    if k == "text":
+                        d["text"] = str(v)
+                    elif k in valid_mods:
+                        try:
+                            im = Image.open(
+                                io.BytesIO(base64.b64decode(v, validate=True))
+                            )
+                            im.load()
+                        except Exception as e:
+                            raise BadRequest(
+                                f"undecodable {k} image: {e}"
+                            ) from e
+                        d[k] = im
+                    else:
+                        raise BadRequest(
+                            f"unknown query modality {k!r}; valid: "
+                            f"{valid_mods + ('text',)}"
+                        )
+                parsed.append(d)
+            return ("queries",), parsed
+        raise BadRequest("body needs 'texts', 'images_b64' or 'queries'")
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
@@ -424,13 +521,17 @@ def warmup_engine(config, engine, modalities=None):
     import numpy as np
     from PIL import Image
 
-    embed_pils, embed_texts, _ = engine
+    embed_pils, embed_texts = engine.embed_pils, engine.embed_texts
     S = config.image_size
     dummy = Image.fromarray(np.zeros((S, S, 3), np.uint8))
-    for mod in (modalities if modalities is not None
-                else config.vision_modalities):
+    mods = tuple(modalities if modalities is not None
+                 else config.vision_modalities)
+    for mod in mods:
         embed_pils([dummy], mod)
     embed_texts([""])
+    # the full combo graph (every vision modality + text) — the MM-4 query
+    # shape; intermediate combos compile on first use (persistent cache)
+    engine.embed_queries([{**{m: dummy for m in mods}, "text": ""}])
 
 
 def run_server(port, host, config, engine, warmup="all", gallery_path=None):
@@ -529,7 +630,9 @@ def main(argv=None):
             f"vision_modalities {tuple(config.vision_modalities)}"
         )
     engine = make_engine(config, model, variables, B)
-    embed_pils, embed_texts, embed_paths = engine
+    embed_pils, embed_texts, embed_paths = (
+        engine.embed_pils, engine.embed_texts, engine.embed_paths
+    )
 
     if args.serve is not None:
         run_server(args.serve, args.serve_host, config, engine,
