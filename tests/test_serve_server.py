@@ -180,6 +180,55 @@ def test_embed_queries_matches_singles_and_direct_model(served):
     np.testing.assert_allclose(feats[0], oracle[0], rtol=1e-3, atol=1e-3)
 
 
+def test_weighted_fusion_engine_matches_hand_sum(served):
+    """fusion_mode='weighted': a combo query must equal the reference
+    FeatureExtractor rule — L2-normalized per-modality embeddings summed
+    with text weight 1.2, re-normalized (and singles are unchanged)."""
+    import serve_embed
+
+    from prcv2025reid_tpu.configs import TrainingConfig
+    from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+    import jax.numpy as jnp
+
+    _, engine, config = served
+    # rebuild the fixture's deterministic model for a weighted engine
+    model = MultiModalReIDModel(config=TrainingConfig(**TINY), num_classes=3)
+    Mv, S = len(config.vision_modalities), config.image_size
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, Mv, S, S, 3), jnp.float32),
+        jnp.ones((2, Mv), jnp.float32),
+        jnp.zeros((2, config.text_context_length), jnp.int32),
+        jnp.ones((2,), jnp.float32),
+        train=False,
+    )
+    wengine = serve_embed.make_engine(
+        config, model, variables, 4, fusion_mode="weighted"
+    )
+    img = Image.open(io.BytesIO(base64.b64decode(_jpeg_b64(9))))
+    caption = "a tall person"
+
+    # singles: identical graph in both modes
+    np.testing.assert_allclose(
+        wengine.embed_pils([img], "nir"), engine.embed_pils([img], "nir"),
+        rtol=1e-4, atol=1e-4,
+    )
+    # combo: hand-computed weighted sum of the single embeddings
+    combo = wengine.embed_queries([{"nir": img, "text": caption}])[0]
+    f_nir = engine.embed_pils([img], "nir")[0]
+    f_txt = engine.embed_texts([caption])[0]
+    expect = 1.0 * f_nir + 1.2 * f_txt
+    expect /= np.linalg.norm(expect)
+    np.testing.assert_allclose(combo, expect, rtol=1e-3, atol=1e-3)
+    # and it differs from the model-fusion combo
+    model_combo = engine.embed_queries([{"nir": img, "text": caption}])[0]
+    assert np.abs(combo - model_combo).max() > 1e-3
+
+    with pytest.raises(ValueError, match="fusion_mode"):
+        serve_embed.make_engine(config, model, variables, 4,
+                                fusion_mode="bogus")
+
+
 def test_embed_queries_http(served):
     url, engine, config = served
     code, body = _post(url + "/embed", {"queries": [

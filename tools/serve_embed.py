@@ -94,19 +94,27 @@ Engine = collections.namedtuple(
 )
 
 
-def make_engine(config, model, variables, batch_size):
+def make_engine(config, model, variables, batch_size, fusion_mode="model"):
     """Batch embedding callables over a loaded model (an ``Engine``
     namedtuple): ``embed_pils(images, modality)``, ``embed_texts(captions)``,
     ``embed_paths(paths, modality)``, and ``embed_queries(query_dicts)`` for
     multi-modal MM-2/3/4 combo queries — each returns L2-normalized fp32
     [N, fusion_dim].  Combo graphs compile once per modality set and are
-    reused across calls (the serving hot loop)."""
+    reused across calls (the serving hot loop).  ``fusion_mode="weighted"``
+    fuses multi-modal queries by the reference FeatureExtractor's weighted
+    sum (text 1.2 — ref tools/eval_mm_protocol.py:133-219) instead of the
+    model's fusion module, matching the eval CLI's --fusion_mode."""
     import jax.numpy as jnp
     import numpy as np
 
     from prcv2025reid_tpu.data.augment import ImageTransform
-    from prcv2025reid_tpu.training.train_step import make_combo_embed_step
+    from prcv2025reid_tpu.training.train_step import (
+        make_combo_embed_step,
+        make_weighted_embed_step,
+    )
 
+    if fusion_mode not in ("model", "weighted"):
+        raise ValueError(f"unknown fusion_mode {fusion_mode!r}")
     B = batch_size
     Mv, S = len(config.vision_modalities), config.image_size
     tf = ImageTransform(image_size=S, train=False)
@@ -114,7 +122,13 @@ def make_engine(config, model, variables, batch_size):
 
     def _fn(mods):
         if mods not in fns:
-            fns[mods] = make_combo_embed_step(model, mods)
+            # same dispatch rule as the eval CLI: weighted sum only has an
+            # effect on true multi-modal combos (a single modality is the
+            # identical graph either way)
+            if fusion_mode == "weighted" and len(mods) > 1:
+                fns[mods] = make_weighted_embed_step(model, mods)
+            else:
+                fns[mods] = make_combo_embed_step(model, mods)
         return fns[mods]
 
     def _empty():
@@ -594,6 +608,12 @@ def main(argv=None):
         "fc2 matmul prologue fusion; bf16-accuracy)",
     )
     ap.add_argument(
+        "--fusion_mode", default="model", choices=("model", "weighted"),
+        help="how multi-modal combo queries fuse: the model's fusion module "
+        "(default) or the reference FeatureExtractor's weighted sum "
+        "(text 1.2) — mirrors the eval CLI's --fusion_mode",
+    )
+    ap.add_argument(
         "--serve", type=int, default=None, metavar="PORT",
         help="run the HTTP embedding server (0 = ephemeral port)",
     )
@@ -629,7 +649,8 @@ def main(argv=None):
             f"--modality {args.modality!r} is not in this checkpoint's "
             f"vision_modalities {tuple(config.vision_modalities)}"
         )
-    engine = make_engine(config, model, variables, B)
+    engine = make_engine(config, model, variables, B,
+                         fusion_mode=args.fusion_mode)
     embed_pils, embed_texts, embed_paths = (
         engine.embed_pils, engine.embed_texts, engine.embed_paths
     )
