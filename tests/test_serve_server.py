@@ -339,8 +339,10 @@ def test_bad_requests(served):
     assert code == 400 and "list" in body["error"]
     code, body = _post(url + "/embed", {"images_b64": ["!!notbase64"]})
     assert code == 400
-    # /search without a loaded gallery is a clear 404, not a crash
+    # /search and enrollment without a loaded gallery are clear 404s
     code, body = _post(url + "/search", {"texts": ["x"]})
+    assert code == 404 and "serve_gallery" in body["error"]
+    code, body = _post(url + "/gallery/add", {"texts": ["x"], "ids": ["a"]})
     assert code == 404 and "serve_gallery" in body["error"]
     # server survives all of that
     with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
@@ -365,9 +367,10 @@ def search_served(served, tmp_path_factory):
     gpath = tmp_path_factory.mktemp("gallery") / "g.npz"
     np.savez(gpath, features=feats, ids=np.asarray([f"g{i}" for i in range(5)]))
     gfeats, gids = serve_embed.load_gallery(str(gpath))
-    searcher = serve_embed.make_searcher(gfeats, gids)
+    gallery = serve_embed.GalleryStore(config.fusion_dim, gfeats, gids,
+                                       path=str(gpath))
     srv = serve_embed.make_server(0, "127.0.0.1", config, engine,
-                                  searcher=searcher, gallery_size=len(gids))
+                                  gallery=gallery)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     surl = f"http://127.0.0.1:{srv.server_address[1]}"
@@ -406,6 +409,126 @@ def test_search_returns_self_as_top1(search_served):
     # invalid top_k is a 400
     code, body = _post(surl + "/search", {"texts": ["x"], "top_k": "ten"})
     assert code == 400 and "top_k" in body["error"]
+
+
+def test_gallery_store_semantics(tmp_path):
+    """GalleryStore: capacity doubles (no per-add recompile of the ranking
+    graph), -inf padding never surfaces, remove drops every row of an id,
+    save -> load_gallery roundtrips, shape errors are loud."""
+    import serve_embed
+
+    rng = np.random.default_rng(0)
+    store = serve_embed.GalleryStore(8, min_capacity=4)
+    assert store.size == 0 and store.capacity == 4
+    assert store.search(rng.random((2, 8)).astype(np.float32), 5) == [[], []]
+
+    f = rng.standard_normal((5, 8)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    store.add(f[:3], ["a", "b", "a"])
+    assert store.size == 3 and store.capacity == 4
+    store.add(f[3:], ["c", "d"])
+    assert store.size == 5 and store.capacity == 8  # doubled exactly once
+
+    # k clamps to the live size; padding rows can never appear
+    res = store.search(f[[1]], 100)
+    assert len(res[0]) == 5
+    assert res[0][0]["id"] == "b"
+    assert res[0][0]["score"] == pytest.approx(1.0, abs=1e-4)
+    assert all(np.isfinite(e["score"]) for e in res[0])
+
+    # remove drops EVERY row with a matching id; unknown ids are ignored
+    assert store.remove(["a", "nope"]) == 2
+    assert store.size == 3
+    assert "a" not in [e["id"] for e in store.search(f[[0]], 3)[0]]
+
+    # save -> load_gallery roundtrip preserves order and values
+    p = tmp_path / "g.npz"
+    store.save(str(p))
+    feats2, ids2 = serve_embed.load_gallery(str(p))
+    assert ids2 == ["b", "c", "d"]
+    np.testing.assert_allclose(feats2, f[[1, 3, 4]], atol=1e-6)
+
+    with pytest.raises(ValueError, match="features"):
+        store.add(np.zeros((1, 9), np.float32), ["x"])
+    with pytest.raises(ValueError, match="ids"):
+        store.add(np.zeros((2, 8), np.float32), ["x"])
+    with pytest.raises(ValueError, match="path"):
+        serve_embed.GalleryStore(8).save()
+
+
+def test_gallery_enrollment_http(served, tmp_path_factory):
+    """Runtime enrollment lifecycle over HTTP: start EMPTY, /gallery/add
+    through the embedding engine, /search finds enrolled ids,
+    /gallery/remove, /gallery/save persists to the server-side path."""
+    import serve_embed
+
+    url, engine, config = served
+    gpath = tmp_path_factory.mktemp("enroll") / "enrolled.npz"
+    gallery = serve_embed.GalleryStore(config.fusion_dim, path=str(gpath))
+    srv = serve_embed.make_server(0, "127.0.0.1", config, engine,
+                                  gallery=gallery)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    surl = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # empty gallery: /search answers with empty rows, not an error
+        code, body = _post(surl + "/search", {"texts": ["x"], "top_k": 3})
+        assert code == 200 and body["results"] == [[]]
+
+        # enroll 3 nir images (lossless PNG so a self-query matches exactly)
+        pngs = []
+        for i in range(3):
+            img = Image.fromarray(
+                (np.random.default_rng(100 + i).random((48, 32, 3)) * 255
+                 ).astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, "PNG")
+            pngs.append(base64.b64encode(buf.getvalue()).decode())
+        code, body = _post(surl + "/gallery/add",
+                           {"images_b64": pngs, "modality": "nir",
+                            "ids": ["p0", "p1", "p2"]})
+        assert code == 200
+        assert body == {"added": 3, "gallery_size": 3}
+
+        # self-query through /search: top-1 is the enrolled id, score ~1
+        code, body = _post(surl + "/search",
+                           {"images_b64": [pngs[1]], "modality": "nir",
+                            "top_k": 2})
+        assert code == 200
+        assert body["results"][0][0]["id"] == "p1"
+        assert body["results"][0][0]["score"] == pytest.approx(1.0, abs=1e-3)
+
+        code, body = _post(surl + "/gallery/remove", {"ids": ["p1"]})
+        assert code == 200 and body == {"removed": 1, "gallery_size": 2}
+        code, body = _post(surl + "/search",
+                           {"images_b64": [pngs[1]], "modality": "nir",
+                            "top_k": 2})
+        assert "p1" not in [e["id"] for e in body["results"][0]]
+
+        # row-count mismatch and malformed ids are clean 400s
+        code, body = _post(surl + "/gallery/add",
+                           {"images_b64": pngs, "modality": "nir",
+                            "ids": ["onlyone"]})
+        assert code == 400 and "ids" in body["error"]
+        code, body = _post(surl + "/gallery/remove", {"ids": "p0"})
+        assert code == 400 and "list" in body["error"]
+        # clients must not choose the save path (arbitrary-write hazard)
+        code, body = _post(surl + "/gallery/save", {"path": "/tmp/evil"})
+        assert code == 400 and "server-side" in body["error"]
+
+        # save persists to the --serve_gallery path; reload agrees
+        code, body = _post(surl + "/gallery/save", {})
+        assert code == 200 and body["gallery_size"] == 2
+        feats, ids = serve_embed.load_gallery(str(gpath))
+        assert sorted(ids) == ["p0", "p2"]
+        assert feats.shape == (2, config.fusion_dim)
+
+        # health reflects the live gallery size
+        with urllib.request.urlopen(surl + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["gallery_size"] == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_search_accepts_combo_queries(search_served):

@@ -347,40 +347,166 @@ def load_gallery(path):
     return feats, ids
 
 
-def make_searcher(gallery_feats, gallery_ids):
-    """-> search(query_feats [N, D], top_k) = [N] lists of (id, score).
+_TOPK_FN = []
 
-    One jitted Q@G^T + lax.top_k per top_k value (static shapes; repeated
-    top_k values reuse the compiled graph)."""
-    import functools
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+def _topk_fn():
+    """Shared jitted masked ranking: Q@G^T with padding columns at -inf,
+    then lax.top_k.  Compiled per (gallery capacity, k) — capacity only
+    doubles (GalleryStore), so enrollment never recompiles per add."""
+    if not _TOPK_FN:
+        import functools
 
-    g = jnp.asarray(gallery_feats)  # [G, D], unit rows
+        import jax
+        import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def _topk(q, k):
-        return jax.lax.top_k(q @ g.T, k)
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def fn(q, g, nvalid, k):
+            scores = q @ g.T
+            valid = jnp.arange(g.shape[0])[None, :] < nvalid
+            return jax.lax.top_k(
+                jnp.where(valid, scores, -jnp.inf), k
+            )
 
-    def search(query_feats, top_k):
-        k = max(1, min(int(top_k), g.shape[0]))
-        scores, idx = _topk(jnp.asarray(query_feats, jnp.float32), k)
+        _TOPK_FN.append(fn)
+    return _TOPK_FN[0]
+
+
+class GalleryStore:
+    """Mutable serving gallery with TPU-static shapes.
+
+    The production enrollment story (no reference counterpart — its eval
+    tool ranks a frozen gallery offline): identities can be added/removed
+    while serving.  Features live in a capacity-padded ``[C, D]`` device
+    buffer where C only ever doubles (floor ``min_capacity``), so the
+    jitted ``Q @ G^T + top_k`` graph compiles O(log G) times over the
+    gallery's lifetime — never once per add, which matters when novel
+    compiles go through a 30 s - 30 min remote service (CLAUDE.md).
+    Padding columns rank at -inf and ``k`` clamps to the live size, so
+    they can never surface.  Mutations serialize under a lock and publish
+    an immutable snapshot tuple; searches read the snapshot lock-free.
+    """
+
+    def __init__(self, dim, feats=None, ids=(), path=None, min_capacity=128):
+        import threading
+
+        import numpy as np
+
+        self.dim = int(dim)
+        self.path = path
+        self._min_capacity = max(1, int(min_capacity))
+        self._lock = threading.Lock()
+        self._feats = np.zeros((0, self.dim), np.float32)
+        self._ids = []
+        self._snap = None  # (g_dev [C,D], ids tuple, size)
+        if feats is not None:
+            self.add(feats, ids)
+        else:
+            self._publish()
+
+    @property
+    def size(self):
+        return self._snap[2]
+
+    @property
+    def capacity(self):
+        return int(self._snap[0].shape[0])
+
+    def _publish(self):
+        """Rebuild the padded device buffer + snapshot (caller holds the
+        lock, or is the constructor)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        n = len(self._ids)
+        cap = self._min_capacity
+        while cap < n:
+            cap *= 2
+        padded = np.zeros((cap, self.dim), np.float32)
+        padded[:n] = self._feats
+        self._snap = (jnp.asarray(padded), tuple(self._ids), n)
+
+    def add(self, feats, ids):
+        """Append rows (duplicate ids allowed — a person may have many
+        gallery images); returns the new size."""
+        import numpy as np
+
+        feats = np.asarray(feats, np.float32)
+        ids = [str(i) for i in ids]
+        if feats.ndim != 2 or feats.shape[1] != self.dim:
+            raise ValueError(
+                f"features must be [N, {self.dim}], got {feats.shape}"
+            )
+        if feats.shape[0] != len(ids):
+            raise ValueError(
+                f"{feats.shape[0]} features vs {len(ids)} ids"
+            )
+        # defensive renormalize — ranking assumes unit rows
+        feats = feats / np.maximum(
+            np.linalg.norm(feats, axis=1, keepdims=True), 1e-12
+        )
+        with self._lock:
+            self._feats = np.concatenate([self._feats, feats])
+            self._ids.extend(ids)
+            self._publish()
+            return len(self._ids)
+
+    def remove(self, ids):
+        """Remove EVERY row whose id is in ``ids``; returns removed count."""
+        import numpy as np
+
+        drop = {str(i) for i in ids}
+        with self._lock:
+            keep = [j for j, i in enumerate(self._ids) if i not in drop]
+            removed = len(self._ids) - len(keep)
+            if removed:
+                self._feats = self._feats[np.asarray(keep, np.int64)] \
+                    if keep else np.zeros((0, self.dim), np.float32)
+                self._ids = [self._ids[j] for j in keep]
+                self._publish()
+            return removed
+
+    def save(self, path=None):
+        """Atomic npz write (same schema as --out / load_gallery)."""
+        import os
+
+        import numpy as np
+
+        path = path or self.path
+        if not path:
+            raise ValueError("no save path: construct with path= or pass one")
+        with self._lock:
+            feats, ids = self._feats.copy(), list(self._ids)
+        # np.savez appends .npz when the name lacks it — keep the suffix
+        tmp = f"{path}.tmp.{os.getpid()}.npz"
+        np.savez(tmp, features=feats, ids=np.asarray(ids, dtype=str))
+        os.replace(tmp, path)
+        return path
+
+    def search(self, query_feats, top_k):
+        """-> [N] lists of {"id", "score"}, best first."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        g, ids, n = self._snap  # lock-free consistent snapshot
+        nq = int(np.asarray(query_feats).shape[0])
+        if n == 0:
+            return [[] for _ in range(nq)]
+        k = max(1, min(int(top_k), n))
+        scores, idx = _topk_fn()(
+            jnp.asarray(query_feats, jnp.float32), g, np.int32(n), k
+        )
         scores, idx = np.asarray(scores), np.asarray(idx)
         return [
             [
-                {"id": gallery_ids[int(j)], "score": float(s)}
+                {"id": ids[int(j)], "score": float(s)}
                 for j, s in zip(row_i, row_s)
             ]
             for row_i, row_s in zip(idx, scores)
         ]
 
-    return search
 
-
-def make_server(port, host, config, engine, batch_items=None, searcher=None,
-                gallery_size=0):
+def make_server(port, host, config, engine, batch_items=None, gallery=None):
     """Build (without starting) the HTTP embedding server — see the module
     docstring for the API.  Concurrent requests coalesce into shared device
     batches via :class:`MicroBatcher` (concurrency belongs in the batch
@@ -477,18 +603,21 @@ def make_server(port, host, config, engine, batch_items=None, searcher=None,
                     "image_size": config.image_size,
                     "batch_dispatches": batcher.dispatches,
                     "batch_requests": batcher.requests,
-                    "gallery_size": gallery_size,
+                    "gallery_size": gallery.size if gallery else 0,
                 })
             else:
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path not in ("/embed", "/search"):
+            routes = ("/embed", "/search", "/gallery/add", "/gallery/remove",
+                      "/gallery/save")
+            if self.path not in routes:
                 self._send(404, {"error": "unknown path"})
                 return
-            if self.path == "/search" and searcher is None:
+            if self.path != "/embed" and gallery is None:
                 self._send(404, {"error": "no gallery loaded — start the "
-                                 "server with --serve_gallery feats.npz"})
+                                 "server with --serve_gallery feats.npz "
+                                 "(a new path starts empty for enrollment)"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -499,7 +628,39 @@ def make_server(port, host, config, engine, batch_items=None, searcher=None,
                     req = json.loads(self.rfile.read(length) or b"{}")
                     if not isinstance(req, dict):
                         raise BadRequest("body must be a JSON object")
+                    if self.path == "/gallery/remove":
+                        if not isinstance(req.get("ids"), list):
+                            raise BadRequest("'ids' must be a JSON list")
+                        removed = gallery.remove(req["ids"])
+                        self._send(200, {"removed": removed,
+                                         "gallery_size": gallery.size})
+                        return
+                    if self.path == "/gallery/save":
+                        # clients never choose the filesystem path (an
+                        # arbitrary-write hazard on exposed hosts) — saves
+                        # go to the --serve_gallery path only
+                        if "path" in req:
+                            raise BadRequest(
+                                "'path' is server-side (--serve_gallery)"
+                            )
+                        try:
+                            saved = gallery.save()
+                        except ValueError as e:
+                            raise BadRequest(str(e)) from e
+                        self._send(200, {"saved": saved,
+                                         "gallery_size": gallery.size})
+                        return
                     key, items = _parse(req)
+                    if self.path == "/gallery/add":
+                        row_ids = req.get("ids")
+                        if not isinstance(row_ids, list):
+                            raise BadRequest(
+                                "'ids' must be a JSON list (one per row)"
+                            )
+                        if len(row_ids) != len(items):
+                            raise BadRequest(
+                                f"{len(items)} rows vs {len(row_ids)} ids"
+                            )
                     top_k = req.get("top_k", 10)
                     if self.path == "/search" and not (
                         isinstance(top_k, int) and top_k >= 1
@@ -509,8 +670,13 @@ def make_server(port, host, config, engine, batch_items=None, searcher=None,
                     self._send(400, {"error": str(e)})
                     return
                 feats = batcher.submit(key, items).result()
+                if self.path == "/gallery/add":
+                    size = gallery.add(feats, row_ids)
+                    self._send(200, {"added": int(feats.shape[0]),
+                                     "gallery_size": size})
+                    return
                 if self.path == "/search":
-                    self._send(200, {"results": searcher(feats, top_k),
+                    self._send(200, {"results": gallery.search(feats, top_k),
                                      "count": int(feats.shape[0])})
                     return
                 self._send(200, {"embeddings": feats.tolist(),
@@ -549,25 +715,36 @@ def warmup_engine(config, engine, modalities=None):
 
 
 def run_server(port, host, config, engine, warmup="all", gallery_path=None):
-    searcher, gallery_size = None, 0
+    import os
+
+    gallery = None
     if gallery_path:
-        feats, ids = load_gallery(gallery_path)
-        if feats.shape[1] != config.fusion_dim:
-            raise SystemExit(
-                f"gallery feature dim {feats.shape[1]} != checkpoint "
-                f"fusion_dim {config.fusion_dim} — wrong gallery/checkpoint "
-                "pairing"
+        if os.path.exists(gallery_path):
+            feats, ids = load_gallery(gallery_path)
+            if feats.shape[1] != config.fusion_dim:
+                raise SystemExit(
+                    f"gallery feature dim {feats.shape[1]} != checkpoint "
+                    f"fusion_dim {config.fusion_dim} — wrong gallery/"
+                    "checkpoint pairing"
+                )
+            gallery = GalleryStore(config.fusion_dim, feats, ids,
+                                   path=gallery_path)
+            logging.info("gallery loaded: %d x %d features", *feats.shape)
+        else:
+            gallery = GalleryStore(config.fusion_dim, path=gallery_path)
+            logging.info(
+                "gallery path %s does not exist — starting EMPTY for "
+                "runtime enrollment (/gallery/add; /gallery/save writes it)",
+                gallery_path,
             )
-        searcher, gallery_size = make_searcher(feats, ids), len(ids)
-        logging.info("gallery loaded: %d x %d features", *feats.shape)
     if warmup != "none":
         logging.info("warming serving graphs (all modalities + text)...")
         warmup_engine(config, engine)
-    srv = make_server(port, host, config, engine, searcher=searcher,
-                      gallery_size=gallery_size)
+    srv = make_server(port, host, config, engine, gallery=gallery)
     print(json.dumps({"serving": True, "host": host,
                       "port": srv.server_address[1],
-                      "gallery_size": gallery_size}), flush=True)
+                      "gallery_size": gallery.size if gallery else 0}),
+          flush=True)
     srv.serve_forever()
 
 
