@@ -134,6 +134,7 @@ def _chunk_stats(
     g_pids: jnp.ndarray,
     exclude: Optional[jnp.ndarray],
     excl_idx: Optional[jnp.ndarray],
+    boost_idx: Optional[jnp.ndarray],
     topk_cmc: Tuple[int, ...],
 ):
     """Per-query (ap, has_rel, top1_hit, cmc hits) for one query chunk.
@@ -141,7 +142,10 @@ def _chunk_stats(
     ``exclude``: dense [Nq, Ng] bool (arbitrary pairs).  ``excl_idx``: [Nq]
     int32 gallery POSITION to drop per query (-1 = none) — the same-image
     exclusion case, O(Nq) host-side instead of a dense Nq x Ng matrix; the
-    mask materializes per chunk on device."""
+    mask materializes per chunk on device.  ``boost_idx``: [Nq, K] gallery
+    positions per query that take over the ranking HEAD in the given order
+    (the re-ranked top-N — see evaluation/rerank.py); items outside keep
+    their cosine order below the head."""
     if excl_idx is not None:
         exclude = (
             jnp.arange(g.shape[0], dtype=jnp.int32)[None, :] == excl_idx[:, None]
@@ -149,6 +153,13 @@ def _chunk_stats(
     sim = jnp.dot(q, g.T, precision=jax.lax.Precision.HIGHEST)
     if exclude is not None:
         sim = jnp.where(exclude, -jnp.inf, sim)
+    if boost_idx is not None:
+        # cosine sims live in [-1, 1]; scores in (2, 3], descending with the
+        # given column order, pin the boosted items to the head in that order
+        k_b = boost_idx.shape[1]
+        bvals = 2.0 + (k_b - jnp.arange(k_b, dtype=jnp.float32)) / k_b
+        rows = jnp.arange(sim.shape[0])[:, None]
+        sim = sim.at[rows, boost_idx].set(bvals[None, :])
 
     order = jnp.argsort(-sim, axis=1)  # [Nq, Ng]
     g_sorted = g_pids[order]
@@ -191,6 +202,7 @@ def compute_retrieval_metrics(
     topk_cmc: Sequence[int] = (1, 5, 10),
     query_chunk: int = 1024,
     mesh=None,
+    boost_idx: Optional[np.ndarray] = None,  # [Nq, K] re-ranked head
 ) -> Dict[str, float]:
     """mAP / top-1 / CMC, computed on device in query chunks.
 
@@ -237,6 +249,11 @@ def compute_retrieval_metrics(
         qc = q[sl]
         qp = jnp.asarray(q_pids[sl])
         ex = jnp.asarray(exclude[sl]) if exclude is not None else None
+        bi = (
+            jnp.asarray(boost_idx[sl], jnp.int32)
+            if boost_idx is not None
+            else None
+        )
         n_real = qc.shape[0]
         pad = _chunk_rows(n_real, n_dev, query_chunk) - n_real
         if pad:
@@ -244,15 +261,20 @@ def compute_retrieval_metrics(
             qp = jnp.concatenate([qp, jnp.repeat(qp[-1:], pad, axis=0)])
             if ex is not None:
                 ex = jnp.concatenate([ex, jnp.repeat(ex[-1:], pad, axis=0)])
+            if bi is not None:
+                bi = jnp.concatenate([bi, jnp.repeat(bi[-1:], pad, axis=0)])
         if q_sharding is not None:
             qc = jax.device_put(qc, q_sharding)
             qp = jax.device_put(qp, q_sharding)
             if ex is not None:
                 ex = jax.device_put(ex, q_sharding)
+            if bi is not None:
+                bi = jax.device_put(bi, q_sharding)
         ap, hr, t1, cmc_hits = _chunk_stats(
             qc, qp, g, g_p,
             None if excl_is_idx else ex,
             ex.astype(jnp.int32) if excl_is_idx else None,
+            bi,
             topk_cmc,
         )
         ap_l.append(np.asarray(ap)[:n_real])
@@ -438,6 +460,7 @@ def evaluate_protocol(
     embed_factory: Optional[Callable[[Tuple[str, ...]], Callable]] = None,
     sharding=None,
     mesh=None,
+    rerank: Optional[Dict] = None,
 ) -> Dict:
     """Run the MM protocol; returns {map_single, map_quad, map_avg2, detail,
     cmc1/5/10} like validate_competition_style (train.py:503-639).
@@ -446,7 +469,14 @@ def evaluate_protocol(
     embedding graphs (only the needed towers compile/run); falls back to the
     generic ``embed_fn`` when absent.  ``sharding`` shards the EMBEDDING
     batches over the mesh; ``mesh`` additionally shards the RANKING
-    (similarity matmul + per-query stats) — see compute_retrieval_metrics."""
+    (similarity matmul + per-query stats) — see compute_retrieval_metrics.
+
+    ``rerank`` (kwargs for evaluation/rerank.rerank_orders, e.g.
+    ``{"top_n": 100, "k1": 20, "k2": 6, "lam": 0.3}``) re-ranks every
+    query's cosine top-N head with k-reciprocal re-ranking before scoring;
+    each per-combo detail then also carries the plain-cosine ``mAP_plain``
+    for comparison.  No reference counterpart (it ranks by raw cosine
+    only)."""
     gallery_indices = [i for i, r in enumerate(dataset.records) if r.vis]
 
     def _fn(mods: Tuple[str, ...]) -> Callable:
@@ -507,9 +537,23 @@ def evaluate_protocol(
             exclude = np.asarray(
                 [g_pos.get(qi, -1) for qi in q_indices], np.int32
             )
-        detail[name] = compute_retrieval_metrics(
-            q_feats, q_pids, g_feats, g_pids, exclude, mesh=mesh
-        )
+        if rerank is not None:
+            from prcv2025reid_tpu.evaluation.rerank import rerank_orders
+
+            boost = rerank_orders(
+                q_feats, g_feats, excl_idx=exclude, mesh=mesh, **rerank
+            )
+            detail[name] = compute_retrieval_metrics(
+                q_feats, q_pids, g_feats, g_pids, exclude, mesh=mesh,
+                boost_idx=boost,
+            )
+            detail[name]["mAP_plain"] = compute_retrieval_metrics(
+                q_feats, q_pids, g_feats, g_pids, exclude, mesh=mesh
+            )["mAP"]
+        else:
+            detail[name] = compute_retrieval_metrics(
+                q_feats, q_pids, g_feats, g_pids, exclude, mesh=mesh
+            )
 
     singles = [detail[f"single/{m}"]["mAP"] for m in NONVIS if f"single/{m}" in detail]
     map_single = float(np.mean(singles)) if singles else 0.0
@@ -555,6 +599,7 @@ def export_submission_csv(
     embed_factory: Optional[Callable[[Tuple[str, ...]], Callable]] = None,
     mesh=None,
     sharding=None,
+    rerank: Optional[Dict] = None,
 ):
     """Write the competition CSV: query_key,ranked_gallery_ids
     (tools/eval_mm_protocol.py:595-649).  query_key = pid|mods|anchor-stem;
@@ -600,6 +645,19 @@ def export_submission_csv(
         # wins ties) — no full host argsort of the [Nq, Ng] matrix.  With a
         # mesh the gallery is sharded and per-shard top-ks merge on device.
         k_eff = min(top_k, g_feats.shape[0])
+        if rerank is not None:
+            from prcv2025reid_tpu.evaluation.rerank import rerank_orders
+
+            rr = dict(rerank)
+            # re-rank at least as deep as the submission writes
+            rr["top_n"] = max(rr.get("top_n", k_eff), k_eff)
+            order = rerank_orders(q_feats, g_feats, mesh=mesh, **rr)[:, :k_eff]
+            for qi, record_idx in enumerate(q_indices):
+                rec = dataset.records[record_idx]
+                stem = os.path.splitext(os.path.basename(rec.anchor_vis))[0]
+                query_key = f"{rec.pid}|{'+'.join(mods)}|{stem}"
+                rows.append((query_key, " ".join(g_ids[j] for j in order[qi])))
+            continue
         order_chunks = []
         for start in range(0, len(q_feats), 1024):
             qc_np = q_feats[start : start + 1024]

@@ -1,0 +1,204 @@
+"""k-reciprocal re-ranking (top-N local form), TPU-native.
+
+Beyond-reference capability: the reference ranks by raw cosine only
+(reference train.py:450-479, tools/eval_mm_protocol.py:396-455); k-reciprocal
+re-ranking (Zhong et al., CVPR 2017 — the standard ReID mAP booster) refines
+the head of each ranking using neighborhood consistency: a gallery item is
+trusted when the query and the item are in each OTHER's k-nearest sets, and
+rankings are re-scored by the Jaccard overlap of their weighted reciprocal
+neighborhoods.
+
+TPU-first design (vs the classic host implementation, which builds a sparse
+(Nq+Ng)^2 graph with Python loops + inverted indices):
+
+- **Top-N local form**: each query is re-ranked against its own top-N
+  cosine candidates only (N=100 matches the submission depth).  The
+  subproblem is a DENSE [N+1, N+1] neighborhood graph — static shapes,
+  no sparsity bookkeeping, exact within the candidate set.
+- **One fused jit per chunk**: every step (neighbor top-k, reciprocal
+  masks, 2/3-overlap expansion, Gaussian weighting, local query
+  expansion, Jaccard) is batched over queries as [B, n, n] tensor ops;
+  the set-intersection counts become batched matmuls on the MXU.
+- **Static-shape buckets**: query chunks pad to power-of-two buckets
+  (one executable per bucket — novel compiles are remote and slow here);
+  k1/k2 are static, lambda is traced.
+- **Mesh-ready**: the candidate search reuses the gallery-sharded top-k
+  (parallel/ranking.sharded_topk) and the per-query local solves shard
+  over the data axis — rows are independent, so sharding is exact.
+
+Memory is O(B * N^2) regardless of gallery size — at the competition's 45k
+gallery the classic global algorithm's V matrix alone would be ~8 GB.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bucket_rows(n_real: int, n_dev: int, cap: int) -> int:
+    rows = 1
+    while rows < n_real:
+        rows *= 2
+    rows = min(rows, cap)
+    rows = max(rows, n_real, n_dev)
+    return -(-rows // n_dev) * n_dev
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "k2"))
+def _rerank_chunk(
+    qf: jnp.ndarray,   # [B, D] unit query features
+    cf: jnp.ndarray,   # [B, N, D] unit candidate features (cosine top-N order)
+    lam: jnp.ndarray,  # scalar: weight of the ORIGINAL distance
+    k1: int,
+    k2: int,
+):
+    """-> (perm [B, N], fused [B, N]): re-ranked candidate positions
+    (argsort of the fused distance, ties broken by the original cosine
+    order via stable argsort) and the fused distances in that order (the
+    serving /search score is ``1 - fused``)."""
+    f = jnp.concatenate([qf[:, None, :], cf], axis=1).astype(jnp.float32)
+    n = f.shape[1]  # N + 1; local row 0 is the query
+    sim = jnp.einsum(
+        "bnd,bmd->bnm", f, f, precision=jax.lax.Precision.HIGHEST
+    )
+    dist = 1.0 - sim
+    b_ix = jnp.arange(f.shape[0])[:, None, None]
+    r_ix = jnp.arange(n)[None, :, None]
+
+    # neighbor lists: self forced first (diag below any real distance), so
+    # N(i, k) = topk[:, :, :k+1] always contains i itself
+    dist_sel = dist - 2.0 * jnp.eye(n, dtype=dist.dtype)[None]
+    k_need = min(k1 + 1, n)
+    _, topk = jax.lax.top_k(-dist_sel, k_need)  # [B, n, k1+1]
+
+    def membership(idx):  # [B, n, k] neighbor ids -> [B, n, n] bool
+        m = jnp.zeros((f.shape[0], n, n), bool)
+        return m.at[b_ix, r_ix, idx].set(True)
+
+    nbr = membership(topk)                      # j in N(i, k1)
+    kh = min(max(k1 // 2, 1) + 1, k_need)
+    nbr_h = membership(topk[:, :, :kh])         # j in N(i, ceil(k1/2))
+
+    # k-reciprocal sets: R(i) = {j : j in N(i,k1) and i in N(j,k1)}
+    recip = nbr & jnp.swapaxes(nbr, 1, 2)
+    recip_h = nbr_h & jnp.swapaxes(nbr_h, 1, 2)
+
+    # expansion (Zhong et al. eq. 3): pull in R_half(j) for j in R(i) when
+    # |R_half(j) & R(i)| >= 2/3 |R_half(j)|.  The intersection counts are one
+    # batched matmul over the membership masks.
+    rf = recip.astype(jnp.float32)
+    rhf = recip_h.astype(jnp.float32)
+    inter = jnp.einsum("bit,bjt->bij", rf, rhf)      # |R(i) & R_half(j)|
+    size_h = rhf.sum(-1)                             # [B, n] |R_half(j)|
+    absorb = recip & (inter >= (2.0 / 3.0) * size_h[:, None, :])
+    expanded = jnp.einsum("bij,bjt->bit", absorb.astype(jnp.float32), rhf)
+    r_star = recip | (expanded > 0.0)
+
+    # Gaussian-weighted neighborhood vectors, row-normalized
+    w = jnp.where(r_star, jnp.exp(-jnp.maximum(dist, 0.0)), 0.0)
+    v = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
+
+    # local query expansion: V(i) <- mean of V over the k2 nearest (incl self)
+    if k2 > 1:
+        k2_eff = min(k2, k_need)
+        a2 = jnp.zeros((f.shape[0], n, n), jnp.float32)
+        a2 = a2.at[b_ix, r_ix, topk[:, :, :k2_eff]].set(1.0 / k2_eff)
+        v = jnp.einsum("bij,bjt->bit", a2, v)
+
+    # Jaccard distance between the query row and every candidate row
+    v0 = v[:, :1, :]
+    minsum = jnp.minimum(v0, v).sum(-1)
+    maxsum = jnp.maximum(v0, v).sum(-1)
+    jaccard = 1.0 - minsum / jnp.maximum(maxsum, 1e-12)
+
+    final = (1.0 - lam) * jaccard[:, 1:] + lam * dist[:, 0, 1:]
+    perm = jnp.argsort(final, axis=1, stable=True)
+    return perm, jnp.take_along_axis(final, perm, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _masked_topk(q, g, excl, k):
+    """Cosine top-k with an optional per-query gallery position dropped."""
+    sim = jnp.dot(q, g.T, precision=jax.lax.Precision.HIGHEST)
+    if excl is not None:
+        drop = jnp.arange(g.shape[0], dtype=jnp.int32)[None, :] == excl[:, None]
+        sim = jnp.where(drop, -jnp.inf, sim)
+    return jax.lax.top_k(sim, k)
+
+
+def rerank_orders(
+    q_feats: np.ndarray,
+    g_feats: np.ndarray,
+    *,
+    top_n: int = 100,
+    k1: int = 20,
+    k2: int = 6,
+    lam: float = 0.3,
+    query_chunk: int = 128,
+    excl_idx: Optional[np.ndarray] = None,  # [Nq] gallery position, -1 = none
+    mesh=None,
+) -> np.ndarray:
+    """-> [Nq, min(top_n, Ng)] int32 gallery positions, re-ranked.
+
+    Column j holds the gallery index ranked j-th for that query after
+    k-reciprocal re-ranking of its cosine top-N candidates.  ``excl_idx``
+    drops one gallery position per query BEFORE candidate selection (the
+    same-image exclusion protocol), so an excluded item can never appear.
+    ``lam`` weighs the original cosine distance ((1-lam) on Jaccard);
+    ``lam=1.0`` reproduces the plain cosine order exactly.
+    """
+    Nq = q_feats.shape[0]
+    n_eff = int(min(top_n, g_feats.shape[0]))
+    if Nq == 0 or n_eff == 0:
+        return np.zeros((Nq, n_eff), np.int32)
+    k1 = int(min(k1, n_eff))  # neighbor depth cannot exceed the local set
+    k2 = int(min(k2, k1 + 1))
+
+    q_sharding = None
+    n_dev = 1
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from prcv2025reid_tpu.parallel.mesh import DATA_AXIS
+
+        n_dev = mesh.devices.size
+        q_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    g_dev = jnp.asarray(g_feats, jnp.float32)
+    lam_arr = jnp.float32(lam)
+    out = np.zeros((Nq, n_eff), np.int32)
+    for start in range(0, Nq, query_chunk):
+        sl = slice(start, min(start + query_chunk, Nq))
+        qc = np.asarray(q_feats[sl], np.float32)
+        ex = None if excl_idx is None else np.asarray(excl_idx[sl], np.int32)
+        n_real = qc.shape[0]
+        pad = _bucket_rows(n_real, n_dev, query_chunk) - n_real
+        if pad:
+            qc = np.concatenate([qc, np.repeat(qc[-1:], pad, axis=0)])
+            if ex is not None:
+                ex = np.concatenate([ex, np.repeat(ex[-1:], pad, axis=0)])
+        qd = jnp.asarray(qc)
+        exd = None if ex is None else jnp.asarray(ex)
+        if q_sharding is not None:
+            qd = jax.device_put(qd, q_sharding)
+            if exd is not None:
+                exd = jax.device_put(exd, q_sharding)
+        if mesh is not None and mesh.devices.size > 1 and exd is None:
+            from prcv2025reid_tpu.parallel.ranking import sharded_topk
+
+            _, cand = sharded_topk(qd, g_dev, n_eff, mesh)
+        else:
+            _, cand = _masked_topk(qd, g_dev, exd, n_eff)
+        cf = jnp.take(g_dev, cand, axis=0)  # [B, n_eff, D]
+        if q_sharding is not None:
+            cand = jax.device_put(cand, q_sharding)
+            cf = jax.device_put(cf, q_sharding)
+        perm, _ = _rerank_chunk(qd, cf, lam_arr, k1, k2)
+        cand_np = np.asarray(cand)[:n_real]
+        perm_np = np.asarray(perm)[:n_real]
+        out[sl] = np.take_along_axis(cand_np, perm_np, axis=1)
+    return out

@@ -369,8 +369,10 @@ def search_served(served, tmp_path_factory):
     gfeats, gids = serve_embed.load_gallery(str(gpath))
     gallery = serve_embed.GalleryStore(config.fusion_dim, gfeats, gids,
                                        path=str(gpath))
-    srv = serve_embed.make_server(0, "127.0.0.1", config, engine,
-                                  gallery=gallery)
+    srv = serve_embed.make_server(
+        0, "127.0.0.1", config, engine, gallery=gallery,
+        rerank={"top_n": 4, "k1": 3, "k2": 2, "lam": 0.3, "default": False},
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     surl = f"http://127.0.0.1:{srv.server_address[1]}"
@@ -409,6 +411,37 @@ def test_search_returns_self_as_top1(search_served):
     # invalid top_k is a 400
     code, body = _post(surl + "/search", {"texts": ["x"], "top_k": "ten"})
     assert code == 400 and "top_k" in body["error"]
+
+
+def test_search_rerank(search_served):
+    """Per-request k-reciprocal re-ranking on /search: self-match stays
+    top-1 with a fused score ~1, scores stay descending, the flag is
+    validated, and the re-ranked head caps the result length."""
+    surl, imgs, feats = search_served
+    buf = io.BytesIO()
+    imgs[1].save(buf, "PNG")  # lossless: query IS gallery image 1
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    code, body = _post(surl + "/search", {"images_b64": [b64],
+                                          "modality": "nir", "top_k": 3,
+                                          "rerank": True})
+    assert code == 200 and body["reranked"] is True
+    row = body["results"][0]
+    assert row[0]["id"] == "g1"
+    assert row[0]["score"] == pytest.approx(1.0, abs=2e-2)
+    scores = [e["score"] for e in row]
+    assert scores == sorted(scores, reverse=True) and len(row) == 3
+    # default (no flag, server default False) stays plain cosine
+    code, plain = _post(surl + "/search", {"images_b64": [b64],
+                                           "modality": "nir", "top_k": 3})
+    assert code == 200 and plain["reranked"] is False
+    assert plain["results"][0][0]["id"] == "g1"
+    # top_k beyond the re-ranked head clamps to the candidate count (top_n=4)
+    code, body = _post(surl + "/search", {"texts": ["a person"],
+                                          "top_k": 100, "rerank": True})
+    assert code == 200 and len(body["results"][0]) == 4
+    # malformed flag is a clean 400
+    code, body = _post(surl + "/search", {"texts": ["x"], "rerank": "yes"})
+    assert code == 400 and "rerank" in body["error"]
 
 
 def test_gallery_store_semantics(tmp_path):
@@ -515,6 +548,11 @@ def test_gallery_enrollment_http(served, tmp_path_factory):
         # clients must not choose the save path (arbitrary-write hazard)
         code, body = _post(surl + "/gallery/save", {"path": "/tmp/evil"})
         assert code == 400 and "server-side" in body["error"]
+
+        # rerank opt-in on a server built without rerank params is a 400
+        code, body = _post(surl + "/search", {"texts": ["x"],
+                                              "rerank": True})
+        assert code == 400 and "search_rerank" in body["error"]
 
         # save persists to the --serve_gallery path; reload agrees
         code, body = _post(surl + "/gallery/save", {})

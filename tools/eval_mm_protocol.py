@@ -77,6 +77,22 @@ def main(argv=None):
         help="override the GELU formulation for embedding",
     )
     ap.add_argument(
+        "--rerank", action=argparse.BooleanOptionalAction, default=False,
+        help="k-reciprocal re-ranking of each query's cosine top-N head "
+        "(evaluation/rerank.py; standard ReID mAP booster — the reference "
+        "ranks by raw cosine only).  Applies to the metrics AND the "
+        "submission CSV; per-combo detail gains mAP_plain for comparison",
+    )
+    ap.add_argument("--rerank_top_n", type=int, default=100,
+                    help="candidate depth re-ranked per query")
+    ap.add_argument("--rerank_k1", type=int, default=20,
+                    help="reciprocal-neighborhood size k1")
+    ap.add_argument("--rerank_k2", type=int, default=6,
+                    help="local query-expansion size k2")
+    ap.add_argument("--rerank_lambda", type=float, default=0.3,
+                    help="weight of the original cosine distance "
+                    "(1-lambda on the Jaccard term); 1.0 = plain cosine")
+    ap.add_argument(
         "--exclude_same_image",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -195,6 +211,14 @@ def main(argv=None):
     if sharding is not None:
         # params must live on the same device set as the sharded batches
         eval_vars = replicate_state(eval_vars, mesh)
+    rerank = None
+    if args.rerank:
+        rerank = {
+            "top_n": args.rerank_top_n,
+            "k1": args.rerank_k1,
+            "k2": args.rerank_k2,
+            "lam": args.rerank_lambda,
+        }
     result = evaluate_protocol(
         None,
         eval_vars,
@@ -208,6 +232,7 @@ def main(argv=None):
         embed_factory=embed_factory,
         sharding=sharding,
         mesh=mesh,
+        rerank=rerank,
     )
     print(json.dumps(result, indent=2, default=float))
 
@@ -223,6 +248,7 @@ def main(argv=None):
             embed_factory=embed_factory,
             mesh=mesh,
             sharding=sharding,  # gallery embed sharded like the eval above
+            rerank=rerank,
         )
         logging.info("submission: %d rows -> %s", n, args.submission)
     return result

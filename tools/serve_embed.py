@@ -29,7 +29,17 @@ HTTP API (``--serve PORT``):
     POST /search              -> {"results": [[{"id", "score"}, ...]], ...}
         same body as /embed + optional "top_k" (default 10) — ranks the
         queries against the --serve_gallery features by cosine (the MM
-        protocol's ranking rule) on device
+        protocol's ranking rule) on device; optional "rerank": true
+        re-scores the top-N head with k-reciprocal re-ranking
+        (--search_rerank_* parameters; score becomes the fused similarity)
+    POST /gallery/add         -> {"added": N, "gallery_size": G}
+        same body as /embed + "ids": [str, ...] — embeds and enrolls the
+        rows into the live gallery (a missing --serve_gallery path starts
+        an empty enrollable gallery)
+    POST /gallery/remove      -> {"removed": N, "gallery_size": G}
+        body {"ids": [str, ...]} — drops every row with a matching id
+    POST /gallery/save        -> {"saved": path, "gallery_size": G}
+        atomically rewrites the --serve_gallery npz (path is server-side)
 """
 import argparse
 import glob as globlib
@@ -483,8 +493,16 @@ class GalleryStore:
         os.replace(tmp, path)
         return path
 
-    def search(self, query_feats, top_k):
-        """-> [N] lists of {"id", "score"}, best first."""
+    def search(self, query_feats, top_k, rerank=None):
+        """-> [N] lists of {"id", "score"}, best first.
+
+        ``rerank`` (dict: top_n/k1/k2/lam — server-configured, see
+        --search_rerank_*) re-scores the cosine top-N head with
+        k-reciprocal re-ranking (evaluation/rerank.py); the score is then
+        the fused similarity ``1 - final_dist`` instead of raw cosine.
+        While the gallery is smaller than ``top_n``, the candidate count
+        follows power-of-two sizes so enrollment keeps the O(log G)
+        compile story."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -493,10 +511,34 @@ class GalleryStore:
         if n == 0:
             return [[] for _ in range(nq)]
         k = max(1, min(int(top_k), n))
-        scores, idx = _topk_fn()(
-            jnp.asarray(query_feats, jnp.float32), g, np.int32(n), k
-        )
-        scores, idx = np.asarray(scores), np.asarray(idx)
+        if rerank and n >= 2:
+            from prcv2025reid_tpu.evaluation.rerank import _rerank_chunk
+
+            top_n = int(rerank.get("top_n", 100))
+            cand = top_n if n >= top_n else 1 << (n.bit_length() - 1)
+            k = min(k, cand)  # the re-ranked head is the result set
+            k1 = min(int(rerank.get("k1", 20)), cand)
+            k2 = min(int(rerank.get("k2", 6)), k1 + 1)
+            q = jnp.asarray(query_feats, jnp.float32)
+            # pad the query batch to a power-of-two bucket (bounded compiles)
+            bq = 1
+            while bq < nq:
+                bq *= 2
+            if bq > nq:
+                q = jnp.concatenate([q, jnp.repeat(q[-1:], bq - nq, axis=0)])
+            _, idx = _topk_fn()(q, g, np.int32(n), cand)
+            cf = jnp.take(g, idx, axis=0)
+            perm, fused = _rerank_chunk(
+                q, cf, jnp.float32(rerank.get("lam", 0.3)), k1, k2
+            )
+            idx = np.take_along_axis(np.asarray(idx), np.asarray(perm), 1)
+            idx = idx[:nq, :k]
+            scores = (1.0 - np.asarray(fused))[:nq, :k]
+        else:
+            scores, idx = _topk_fn()(
+                jnp.asarray(query_feats, jnp.float32), g, np.int32(n), k
+            )
+            scores, idx = np.asarray(scores), np.asarray(idx)
         return [
             [
                 {"id": ids[int(j)], "score": float(s)}
@@ -506,11 +548,16 @@ class GalleryStore:
         ]
 
 
-def make_server(port, host, config, engine, batch_items=None, gallery=None):
+def make_server(port, host, config, engine, batch_items=None, gallery=None,
+                rerank=None):
     """Build (without starting) the HTTP embedding server — see the module
     docstring for the API.  Concurrent requests coalesce into shared device
     batches via :class:`MicroBatcher` (concurrency belongs in the batch
-    dimension)."""
+    dimension).
+
+    ``rerank`` — {"top_n","k1","k2","lam", "default": bool} server-side
+    k-reciprocal parameters for /search; requests toggle with
+    ``"rerank": true/false`` (falling back to ``default``)."""
     import base64
     import io
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -666,6 +713,18 @@ def make_server(port, host, config, engine, batch_items=None, gallery=None):
                         isinstance(top_k, int) and top_k >= 1
                     ):
                         raise BadRequest("'top_k' must be a positive integer")
+                    want_rr = False
+                    if self.path == "/search":
+                        want_rr = req.get(
+                            "rerank", bool(rerank and rerank.get("default"))
+                        )
+                        if not isinstance(want_rr, bool):
+                            raise BadRequest("'rerank' must be a JSON boolean")
+                        if want_rr and rerank is None:
+                            raise BadRequest(
+                                "re-ranking is not enabled on this server "
+                                "(start with --search_rerank)"
+                            )
                 except (BadRequest, json.JSONDecodeError, UnicodeDecodeError) as e:
                     self._send(400, {"error": str(e)})
                     return
@@ -676,7 +735,11 @@ def make_server(port, host, config, engine, batch_items=None, gallery=None):
                                      "gallery_size": size})
                     return
                 if self.path == "/search":
-                    self._send(200, {"results": gallery.search(feats, top_k),
+                    res = gallery.search(
+                        feats, top_k, rerank=rerank if want_rr else None
+                    )
+                    self._send(200, {"results": res,
+                                     "reranked": want_rr,
                                      "count": int(feats.shape[0])})
                     return
                 self._send(200, {"embeddings": feats.tolist(),
@@ -714,7 +777,8 @@ def warmup_engine(config, engine, modalities=None):
     engine.embed_queries([{**{m: dummy for m in mods}, "text": ""}])
 
 
-def run_server(port, host, config, engine, warmup="all", gallery_path=None):
+def run_server(port, host, config, engine, warmup="all", gallery_path=None,
+               rerank=None):
     import os
 
     gallery = None
@@ -740,7 +804,8 @@ def run_server(port, host, config, engine, warmup="all", gallery_path=None):
     if warmup != "none":
         logging.info("warming serving graphs (all modalities + text)...")
         warmup_engine(config, engine)
-    srv = make_server(port, host, config, engine, gallery=gallery)
+    srv = make_server(port, host, config, engine, gallery=gallery,
+                      rerank=rerank)
     print(json.dumps({"serving": True, "host": host,
                       "port": srv.server_address[1],
                       "gallery_size": gallery.size if gallery else 0}),
@@ -801,6 +866,17 @@ def main(argv=None):
         help="features .npz (from a prior --images/--out run) to rank "
         "against — enables POST /search",
     )
+    ap.add_argument(
+        "--search_rerank", action="store_true",
+        help="re-rank every /search with k-reciprocal re-ranking by default "
+        "(evaluation/rerank.py; requests override with 'rerank': false). "
+        "Without this flag requests may still opt in per call with "
+        "'rerank': true using the --search_rerank_* parameters below",
+    )
+    ap.add_argument("--search_rerank_top_n", type=int, default=100)
+    ap.add_argument("--search_rerank_k1", type=int, default=20)
+    ap.add_argument("--search_rerank_k2", type=int, default=6)
+    ap.add_argument("--search_rerank_lambda", type=float, default=0.3)
     ap.add_argument("--warmup", default="all", choices=("all", "none"),
                     help="compile all serving graphs before announcing "
                     "readiness (--serve only)")
@@ -833,8 +909,16 @@ def main(argv=None):
     )
 
     if args.serve is not None:
+        rerank = {
+            "top_n": args.search_rerank_top_n,
+            "k1": args.search_rerank_k1,
+            "k2": args.search_rerank_k2,
+            "lam": args.search_rerank_lambda,
+            "default": args.search_rerank,
+        }
         run_server(args.serve, args.serve_host, config, engine,
-                   warmup=args.warmup, gallery_path=args.serve_gallery)
+                   warmup=args.warmup, gallery_path=args.serve_gallery,
+                   rerank=rerank)
         return
 
     def embed_images(paths):
