@@ -176,10 +176,13 @@ class TrainingConfig:
     # ----- TPU-specific (no reference counterpart) -----
     compute_dtype: str = "bfloat16"  # trunk compute; losses/stats stay fp32
     param_dtype: str = "float32"
-    # data-parallel axis sizes; empty = auto (all visible devices).  Any
-    # non-empty value is honored, so --mesh_shape=1 really pins ONE device
+    # mesh axis sizes; empty = auto (all visible devices, 1-D data-parallel).
+    # Any non-empty value is honored, so --mesh_shape=1 really pins ONE device
     # (with the old (1,) default an explicit 1 was indistinguishable from
-    # "unset" and silently used every device)
+    # "unset" and silently used every device).  Tensor parallelism:
+    # --mesh_shape=4,2 --mesh_axis_names=data,model shards qkv/fc1
+    # column-parallel + out_proj/fc2 row-parallel over the 2nd axis
+    # (parallel/tp.py; Megatron-style via GSPMD param placement)
     mesh_shape: Tuple[int, ...] = ()
     mesh_axis_names: Tuple[str, ...] = ("data",)
     # Pallas fused attention: measured SLOWER than the transpose-free XLA
@@ -418,6 +421,19 @@ def _parse_value(raw: str, config: TrainingConfig, key: str):
             return tuple(float(x) for x in items)
         if current and isinstance(current[0], int):
             return tuple(int(x) for x in items)
+        if not current:
+            # empty default (e.g. mesh_shape=()) carries no element type —
+            # infer per item so --mesh_shape=4,2 yields ints, not strings
+            def _coerce(x):
+                try:
+                    return int(x)
+                except ValueError:
+                    try:
+                        return float(x)
+                    except ValueError:
+                        return x
+
+            return tuple(_coerce(x) for x in items)
         return tuple(items)
     if current is None:
         if raw.lower() in ("none", "null", ""):

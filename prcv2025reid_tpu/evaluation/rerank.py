@@ -163,9 +163,9 @@ def rerank_orders(
     if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from prcv2025reid_tpu.parallel.mesh import DATA_AXIS
+        from prcv2025reid_tpu.parallel.mesh import DATA_AXIS, data_axis_size
 
-        n_dev = mesh.devices.size
+        n_dev = data_axis_size(mesh)  # queries shard the DATA axis only
         q_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     g_dev = jnp.asarray(g_feats, jnp.float32)

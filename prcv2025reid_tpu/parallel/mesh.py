@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from prcv2025reid_tpu.configs import TrainingConfig
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"  # tensor-parallel axis (parallel/tp.py)
 
 
 def create_mesh(
@@ -29,36 +30,70 @@ def create_mesh(
     devices: Optional[Sequence] = None,
     n_devices: Optional[int] = None,
     batch_size: Optional[int] = None,
+    model_axis_size: Optional[int] = None,
 ) -> Mesh:
-    """Data-parallel mesh.  ``config.mesh_shape`` (product) caps the device
-    count when set; with ``batch_size`` given, the mesh further shrinks to
-    the largest device count that divides the batch (a P*K batch is not
-    always a multiple of the chip count)."""
+    """Device mesh: 1-D data-parallel by default, 2-D (data, model) when
+    ``mesh_axis_names=('data','model')`` (tensor parallelism, parallel/tp.py).
+
+    ``config.mesh_shape`` (product) caps the device count when set; with
+    ``batch_size`` given, the DATA axis further shrinks to the largest size
+    that divides the batch (a P*K batch is not always a multiple of the chip
+    count)."""
     devs = list(devices) if devices is not None else jax.devices()
+    # the leading axis name is a cross-module contract: every PartitionSpec in
+    # parallel/ + the train step names it DATA_AXIS
+    axis_names = tuple(config.mesh_axis_names) if config is not None else (DATA_AXIS,)
+    if model_axis_size is not None and model_axis_size > 1:
+        axis_names = (DATA_AXIS, MODEL_AXIS)
+    if not axis_names or axis_names[0] != DATA_AXIS:
+        raise ValueError(
+            f"mesh_axis_names must start with {DATA_AXIS!r}, got {axis_names!r}"
+        )
+    if len(axis_names) > 2 or (len(axis_names) == 2 and axis_names[1] != MODEL_AXIS):
+        raise ValueError(
+            f"supported meshes: ({DATA_AXIS!r},) data-parallel or "
+            f"({DATA_AXIS!r}, {MODEL_AXIS!r}) tensor-parallel; got {axis_names!r}"
+        )
+
+    m = model_axis_size or 1
+    if len(axis_names) == 2 and model_axis_size is None:
+        if config is not None and len(config.mesh_shape) == 2:
+            m = config.mesh_shape[1]
+        else:
+            raise ValueError(
+                "a ('data','model') mesh needs mesh_shape=(d, m) or an "
+                "explicit model_axis_size"
+            )
     if n_devices is None and config is not None and config.mesh_shape:
         import math
 
         n_devices = math.prod(config.mesh_shape)
     if n_devices is not None:
         devs = devs[:n_devices]
+    if m > 1:
+        if len(devs) % m != 0:
+            raise ValueError(
+                f"model_axis_size={m} does not divide {len(devs)} devices"
+            )
+        d = len(devs) // m
+        if batch_size is not None:
+            while d > 1 and batch_size % d != 0:
+                d -= 1
+        devs = devs[: d * m]
+        return Mesh(np.asarray(devs).reshape(d, m), (DATA_AXIS, MODEL_AXIS))
     if batch_size is not None:
         n = len(devs)
         while n > 1 and batch_size % n != 0:
             n -= 1
         devs = devs[:n]
-    # the leading axis name is a cross-module contract: every PartitionSpec in
-    # parallel/ + the train step names it DATA_AXIS
-    axis_names = tuple(config.mesh_axis_names) if config is not None else (DATA_AXIS,)
-    if not axis_names or axis_names[0] != DATA_AXIS:
-        raise ValueError(
-            f"mesh_axis_names must start with {DATA_AXIS!r}, got {axis_names!r}"
-        )
-    if len(axis_names) > 1:
-        raise ValueError(
-            "only a 1-D data-parallel mesh is supported (sequence length is "
-            "197/77 tokens — SURVEY.md §5.7: scale is batch/gallery, not TP/SP)"
-        )
-    return Mesh(np.asarray(devs).reshape(len(devs)), axis_names)
+    return Mesh(np.asarray(devs).reshape(len(devs)), (DATA_AXIS,))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Shard count along the batch/gallery ('data') axis — NOT the device
+    count: on a 2-D (data, model) mesh batch-sharded arrays split over the
+    data axis only."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape))[DATA_AXIS]
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -34,7 +34,9 @@ def sharded_topk(
 
     Returns (scores [Q, k], indices [Q, k]) with deterministic tie-breaks.
     """
-    n_dev = mesh.devices.size
+    from prcv2025reid_tpu.parallel.mesh import data_axis_size
+
+    n_dev = data_axis_size(mesh)  # gallery shards split the DATA axis only
     G = g_feats.shape[0]
     pad = (-G) % n_dev
     if pad:

@@ -29,8 +29,9 @@ from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
 from prcv2025reid_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
-    replicate_state,
+    data_axis_size,
 )
+from prcv2025reid_tpu.parallel.tp import shard_state
 from prcv2025reid_tpu.training.checkpoint import (
     finalize_pending_saves,
     latest_checkpoint_exists,
@@ -177,7 +178,8 @@ class Trainer:
             ring_size=steps_per_epoch,
             clip_window=config.adaptive_clip_window,
         )
-        self.state = replicate_state(self.state, self.mesh)
+        # 1-D mesh: replicated; 2-D (data, model): tensor-parallel placement
+        self.state = shard_state(self.state, self.mesh)
         self.train_step = make_train_step(
             self.model, self.tx, config, donate=config.donate_train_state
         )
@@ -237,6 +239,9 @@ class Trainer:
         if not latest_checkpoint_exists(self.config.save_dir):
             return False
         self.state, host = restore_checkpoint(self.config.save_dir, self.state)
+        # restored arrays may land with checkpoint-topology shardings — re-place
+        # on THIS mesh (no-op when they already match)
+        self.state = shard_state(self.state, self.mesh)
         self.start_epoch = host["epoch"] + 1
         self.best_map = host["best_map"]
         self.sdm_scheduler.load_state_dict(host["sdm_scheduler"])
@@ -418,7 +423,7 @@ class Trainer:
         # batch up to the next device multiple — embed_samples pads the last
         # chunk to batch_size anyway, so the padded size is transparent.
         eval_bs = cfg.eval_batch_size
-        n_dev = self.mesh.devices.size
+        n_dev = data_axis_size(self.mesh)
         if n_dev > 1 and eval_bs % n_dev != 0:
             eval_bs = -(-eval_bs // n_dev) * n_dev
             logger.warning(

@@ -199,18 +199,24 @@ def main(argv=None):
     )
     # sharded embedding + ranking over every visible chip (degenerate 1-chip
     # mesh on a single device — one code path, SURVEY.md §5.8)
-    from prcv2025reid_tpu.parallel.mesh import (
-        batch_sharding,
-        create_mesh,
-        replicate_state,
-    )
+    from prcv2025reid_tpu.parallel.mesh import batch_sharding, create_mesh
+    from prcv2025reid_tpu.parallel.tp import shard_state
 
-    # config honors a checkpoint-pinned mesh_shape (parallel/mesh.py)
-    mesh = create_mesh(config=config, batch_size=args.batch_size)
+    # config honors a checkpoint-pinned mesh_shape (parallel/mesh.py); a
+    # pinned 2-D (data, model) mesh that this host cannot build (fewer
+    # devices) degrades to the plain data-parallel mesh — the pin is a
+    # topology hint, not an eval-correctness property
+    try:
+        mesh = create_mesh(config=config, batch_size=args.batch_size)
+    except ValueError as e:
+        print(f"[eval] checkpoint-pinned mesh unavailable here ({e}); "
+              "falling back to data-parallel over visible devices")
+        mesh = create_mesh(batch_size=args.batch_size)
     sharding = batch_sharding(mesh) if mesh.devices.size > 1 else None
     if sharding is not None:
         # params must live on the same device set as the sharded batches
-        eval_vars = replicate_state(eval_vars, mesh)
+        # (tensor-parallel placement on a 2-D mesh, replicated on 1-D)
+        eval_vars = shard_state(eval_vars, mesh)
     rerank = None
     if args.rerank:
         rerank = {
