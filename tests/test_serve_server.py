@@ -489,6 +489,41 @@ def test_gallery_store_semantics(tmp_path):
         serve_embed.GalleryStore(8).save()
 
 
+def test_search_shapes_are_bucketed(monkeypatch):
+    """The jitted ranking sees power-of-two (batch, k) buckets only — novel
+    compiles are remote and slow here (CLAUDE.md), so per-request shapes
+    must never leak into the graph."""
+    import serve_embed
+
+    rng = np.random.default_rng(1)
+    f = rng.standard_normal((9, 8)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    store = serve_embed.GalleryStore(8, feats=f, ids=[str(i) for i in range(9)],
+                                     min_capacity=4)
+
+    real = serve_embed._topk_fn()
+    shapes = []
+
+    def spy(q, g, nvalid, k):
+        shapes.append((int(q.shape[0]), int(k)))
+        return real(q, g, nvalid, k)
+
+    monkeypatch.setattr(serve_embed, "_topk_fn", lambda: spy)
+    for nq in (1, 2, 3, 5, 7):
+        for k in (1, 3, 5, 6):
+            res = store.search(f[:nq], k)
+            assert len(res) == nq and all(len(r) == k for r in res)
+            # every query's best match is itself (unit rows, distinct ids)
+            for i, r in enumerate(res):
+                assert r[0]["id"] == str(i)
+    assert all(
+        b & (b - 1) == 0 and kk & (kk - 1) == 0 for b, kk in shapes
+    ), shapes
+    # O(log^2) buckets — the (batch, k) pairs collapse to power-of-two
+    # products, never one graph per request shape (20 calls here)
+    assert len(set(shapes)) <= 12
+
+
 def test_gallery_enrollment_http(served, tmp_path_factory):
     """Runtime enrollment lifecycle over HTTP: start EMPTY, /gallery/add
     through the embedding engine, /search finds enrolled ids,

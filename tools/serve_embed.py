@@ -535,10 +535,24 @@ class GalleryStore:
             idx = idx[:nq, :k]
             scores = (1.0 - np.asarray(fused))[:nq, :k]
         else:
-            scores, idx = _topk_fn()(
-                jnp.asarray(query_feats, jnp.float32), g, np.int32(n), k
-            )
-            scores, idx = np.asarray(scores), np.asarray(idx)
+            # pad the query batch AND round k up to power-of-two buckets —
+            # novel compiles go through the remote service (30 s - 30 min),
+            # so the jitted ranking must see O(log) distinct shapes, never
+            # one per request size.  kk never exceeds the capacity (itself
+            # power-of-two-grown), and the padded -inf columns cannot enter
+            # the trimmed top-k head because k <= n live rows outrank them.
+            q = jnp.asarray(query_feats, jnp.float32)
+            bq = 1
+            while bq < nq:
+                bq *= 2
+            if bq > nq:
+                q = jnp.concatenate([q, jnp.repeat(q[-1:], bq - nq, axis=0)])
+            kk = 1
+            while kk < k:
+                kk *= 2
+            kk = min(kk, int(g.shape[0]))
+            scores, idx = _topk_fn()(q, g, np.int32(n), kk)
+            scores, idx = np.asarray(scores)[:nq, :k], np.asarray(idx)[:nq, :k]
         return [
             [
                 {"id": ids[int(j)], "score": float(s)}
