@@ -103,6 +103,35 @@ class TestBenchQuery:
         assert all(v > 0 for v in summary["paths"].values())
 
 
+class TestBenchSearch:
+    def test_all_paths_produce_finite_numbers(self, capsys):
+        """tools/bench_search.py measures rank/rerank/search_e2e on tiny
+        shapes (the full-scale defaults are a real-chip measurement)."""
+        import importlib.util
+        import json as jsonlib
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_search",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "bench_search.py"),
+        )
+        bench_search = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench_search)
+        bench_search.main([
+            "--gallery=64", "--dim=8", "--queries=16", "--top_k=5",
+            "--rerank_top_n=16", "--rerank_k1=4", "--rerank_k2=2",
+            "--iters=1",
+        ])
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        summary = jsonlib.loads(lines[-1])
+        assert set(summary["paths"]) == {"rank", "rerank", "search_e2e"}
+        assert summary["paths"]["rank"]["queries_per_sec"] > 0
+        assert summary["paths"]["rerank"]["queries_per_sec"] > 0
+        e2e = summary["paths"]["search_e2e"]
+        assert e2e["b1_plain_ms"] > 0 and e2e["b16_rerank_ms"] > 0
+
+
 class TestConvertCLI:
     def test_npz_export(self, tmp_path):
         """convert_clip.main writes a flat npz from a random HF snapshot."""

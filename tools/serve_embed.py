@@ -512,7 +512,7 @@ class GalleryStore:
             return [[] for _ in range(nq)]
         k = max(1, min(int(top_k), n))
         if rerank and n >= 2:
-            from prcv2025reid_tpu.evaluation.rerank import _rerank_chunk
+            from prcv2025reid_tpu.evaluation.rerank import _rerank_full
 
             top_n = int(rerank.get("top_n", 100))
             cand = top_n if n >= top_n else 1 << (n.bit_length() - 1)
@@ -526,13 +526,13 @@ class GalleryStore:
                 bq *= 2
             if bq > nq:
                 q = jnp.concatenate([q, jnp.repeat(q[-1:], bq - nq, axis=0)])
-            _, idx = _topk_fn()(q, g, np.int32(n), cand)
-            cf = jnp.take(g, idx, axis=0)
-            perm, fused = _rerank_chunk(
-                q, cf, jnp.float32(rerank.get("lam", 0.3)), k1, k2
+            # candidate top-k + gather + local solve in ONE dispatch (the
+            # live-row count masks padded capacity rows at -inf in-graph)
+            ranked, fused = _rerank_full(
+                q, g, None, jnp.int32(n),
+                jnp.float32(rerank.get("lam", 0.3)), k1, k2, cand,
             )
-            idx = np.take_along_axis(np.asarray(idx), np.asarray(perm), 1)
-            idx = idx[:nq, :k]
+            idx = np.asarray(ranked)[:nq, :k]
             scores = (1.0 - np.asarray(fused))[:nq, :k]
         else:
             # pad the query batch AND round k up to power-of-two buckets —
