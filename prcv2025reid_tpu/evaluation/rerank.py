@@ -38,14 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from prcv2025reid_tpu.evaluation.protocol import _chunk_rows as _bucket_rows
 
-def _bucket_rows(n_real: int, n_dev: int, cap: int) -> int:
-    rows = 1
-    while rows < n_real:
-        rows *= 2
-    rows = min(rows, cap)
-    rows = max(rows, n_real, n_dev)
-    return -(-rows // n_dev) * n_dev
+# distance assigned to masked-out candidates: large enough that
+# exp(-_BIG) underflows to exactly 0.0 in f32 (no Gaussian weight) and
+# any lam-blend of it outranks every real fused distance
+_BIG = jnp.float32(1e6)
 
 
 def _rerank_core(
@@ -54,6 +52,9 @@ def _rerank_core(
     lam: jnp.ndarray,  # scalar: weight of the ORIGINAL distance
     k1: int,
     k2: int,
+    invalid: Optional[jnp.ndarray] = None,  # [B, N] bool: candidate is a
+    # masked slot (padded capacity row / excluded item) — rank it LAST and
+    # keep it out of every neighborhood
 ):
     """-> (perm [B, N], fused [B, N]): re-ranked candidate positions
     (argsort of the fused distance, ties broken by the original cosine
@@ -65,6 +66,15 @@ def _rerank_core(
         "bnd,bmd->bnm", f, f, precision=jax.lax.Precision.HIGHEST
     )
     dist = 1.0 - sim
+    if invalid is not None:
+        # push invalid candidates to distance _BIG on their whole row AND
+        # column: they never enter anyone's k1-neighborhood, their
+        # Gaussian weight is exactly 0, and the result equals re-ranking
+        # the candidate set without them
+        bad = jnp.concatenate(
+            [jnp.zeros((f.shape[0], 1), bool), invalid], axis=1
+        )
+        dist = jnp.where(bad[:, :, None] | bad[:, None, :], _BIG, dist)
     b_ix = jnp.arange(f.shape[0])[:, None, None]
     r_ix = jnp.arange(n)[None, :, None]
 
@@ -115,15 +125,13 @@ def _rerank_core(
     jaccard = 1.0 - minsum / jnp.maximum(maxsum, 1e-12)
 
     final = (1.0 - lam) * jaccard[:, 1:] + lam * dist[:, 0, 1:]
+    if invalid is not None:
+        # explicit, lam-independent: a masked candidate sorts after every
+        # real one (at lam=0 a disjoint-neighborhood real candidate could
+        # otherwise tie its Jaccard of 1.0)
+        final = jnp.where(invalid, _BIG, final)
     perm = jnp.argsort(final, axis=1, stable=True)
     return perm, jnp.take_along_axis(final, perm, axis=1)
-
-
-# kept for callers that already hold the candidate features (mesh path,
-# serving) — one jit around the core
-_rerank_chunk = functools.partial(jax.jit, static_argnames=("k1", "k2"))(
-    _rerank_core
-)
 
 
 def _masked_sim(q, g, excl, nvalid):
@@ -139,12 +147,6 @@ def _masked_sim(q, g, excl, nvalid):
     return sim
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _masked_topk(q, g, excl, k):
-    """Cosine top-k with an optional per-query gallery position dropped."""
-    return jax.lax.top_k(_masked_sim(q, g, excl, None), k)
-
-
 @functools.partial(jax.jit, static_argnames=("k1", "k2", "n_cand"))
 def _rerank_full(q, g, excl, nvalid, lam, k1, k2, n_cand):
     """Candidate top-k + gather + the local solve in ONE executable.
@@ -153,11 +155,16 @@ def _rerank_full(q, g, excl, nvalid, lam, k1, k2, n_cand):
     topk/take/solve pipeline pays three, and per-dispatch latency is tens
     of ms through the tunnel here: measured 1,479 -> 1,982 queries/s
     (+34%, identical output) at the 45k-gallery scale with a
-    device-resident gallery (tools/bench_search.py).  Returns
+    device-resident gallery (tools/bench_search.py).
+
+    When ``n_cand`` exceeds a query's VALID gallery columns (excluded
+    position selected, or padded capacity rows past ``nvalid``), the
+    -inf-scored slots are carried through as ``invalid`` and rank last
+    with zero influence on the real candidates' neighborhoods.  Returns
     (reranked gallery positions [B, n_cand], fused distances)."""
-    _, cand = jax.lax.top_k(_masked_sim(q, g, excl, nvalid), n_cand)
+    scores, cand = jax.lax.top_k(_masked_sim(q, g, excl, nvalid), n_cand)
     cf = jnp.take(g, cand, axis=0)  # [B, n_cand, D]
-    perm, fused = _rerank_core(q, cf, lam, k1, k2)
+    perm, fused = _rerank_core(q, cf, lam, k1, k2, jnp.isneginf(scores))
     return jnp.take_along_axis(cand, perm, axis=1), fused
 
 
@@ -183,17 +190,21 @@ def rerank_orders(
     excl_idx: Optional[np.ndarray] = None,  # [Nq] gallery position, -1 = none
     mesh=None,
 ) -> np.ndarray:
-    """-> [Nq, min(top_n, Ng)] int32 gallery positions, re-ranked.
+    """-> [Nq, n_eff] int32 gallery positions, re-ranked.
 
     Column j holds the gallery index ranked j-th for that query after
     k-reciprocal re-ranking of its cosine top-N candidates.  ``excl_idx``
     drops one gallery position per query BEFORE candidate selection (the
-    same-image exclusion protocol), so an excluded item can never appear.
+    same-image exclusion protocol), so an excluded item can never appear
+    — with exclusion active the head width is ``min(top_n, Ng - 1)``
+    (only Ng - 1 columns are admissible per query; asking top_k for Ng
+    would force the -inf-masked excluded column into the candidate set).
     ``lam`` weighs the original cosine distance ((1-lam) on Jaccard);
     ``lam=1.0`` reproduces the plain cosine order exactly.
     """
     Nq = q_feats.shape[0]
-    n_eff = int(min(top_n, g_feats.shape[0]))
+    n_gal = int(g_feats.shape[0])
+    n_eff = int(min(top_n, n_gal - 1 if excl_idx is not None else n_gal))
     if Nq == 0 or n_eff == 0:
         return np.zeros((Nq, n_eff), np.int32)
     k1 = int(min(k1, n_eff))  # neighbor depth cannot exceed the local set

@@ -101,6 +101,62 @@ class TestRerankCore:
         plain = rerank_orders(q, g, top_n=12, k1=5, k2=2, lam=0.3)
         assert (plain[:, 0] == np.arange(6)).all()
 
+    def test_exclusion_never_surfaces_small_gallery(self, rng):
+        """Regression: with Ng <= top_n the candidate top-k spanned the
+        WHOLE gallery, forcing the -inf-masked excluded column into the
+        candidate set — where it re-ranked straight to the top (it is the
+        query's own image).  Under exclusion the head now shrinks to
+        Ng - 1, so the excluded position is never selected."""
+        q = _unit(rng.normal(size=(6, 8))).astype(np.float32)
+        g = np.concatenate([q, _unit(rng.normal(size=(10, 8)))]).astype(
+            np.float32
+        )
+        excl = np.arange(6, dtype=np.int32)
+        got = rerank_orders(q, g, top_n=100, k1=5, k2=2, lam=0.3,
+                            excl_idx=excl)
+        assert got.shape == (6, 15)  # Ng - 1 columns under exclusion
+        for i in range(6):
+            assert excl[i] not in got[i]
+        # rows with excl = -1 in the same batch keep their self-match
+        excl2 = np.array([0, -1, 2, -1, 4, -1], np.int32)
+        got2 = rerank_orders(q, g, top_n=100, k1=5, k2=2, lam=0.3,
+                             excl_idx=excl2)
+        for i in (0, 2, 4):
+            assert excl2[i] not in got2[i]
+        for i in (1, 3, 5):
+            assert got2[i, 0] == i
+
+    def test_invalid_slots_equal_trimmed_gallery(self, rng):
+        """Over-selected candidates (padded capacity rows past ``nvalid``
+        — the serving GalleryStore case) must carry zero influence: the
+        real candidates' re-ranked order and fused distances equal those
+        of the unpadded gallery, and the invalid slots sort last."""
+        import jax.numpy as jnp
+
+        from prcv2025reid_tpu.evaluation.rerank import _rerank_full
+
+        q = _unit(rng.normal(size=(4, 8))).astype(np.float32)
+        g = _unit(rng.normal(size=(11, 8))).astype(np.float32)
+        gpad = np.zeros((16, 8), np.float32)
+        gpad[:11] = g
+        ranked_pad, fused_pad = _rerank_full(
+            jnp.asarray(q), jnp.asarray(gpad), None, jnp.int32(11),
+            jnp.float32(0.3), 5, 2, 16,
+        )
+        ranked_ref, fused_ref = _rerank_full(
+            jnp.asarray(q), jnp.asarray(g), None, None,
+            jnp.float32(0.3), 5, 2, 11,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ranked_pad)[:, :11], np.asarray(ranked_ref)
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_pad)[:, :11], np.asarray(fused_ref), rtol=1e-5
+        )
+        # the 5 invalid slots sit at the tail with the sentinel distance
+        assert (np.asarray(fused_pad)[:, 11:] > 1e5).all()
+        assert (np.asarray(ranked_pad)[:, 11:] >= 11).all()
+
     def test_top_n_clamps_to_gallery(self, rng):
         q = _unit(rng.normal(size=(3, 8))).astype(np.float32)
         g = _unit(rng.normal(size=(9, 8))).astype(np.float32)

@@ -489,6 +489,64 @@ def test_gallery_store_semantics(tmp_path):
         serve_embed.GalleryStore(8).save()
 
 
+def test_search_rerank_reaches_every_row_small_gallery():
+    """Regression: the re-ranked /search candidate count used the FLOOR
+    power of two when the gallery was smaller than top_n, making up to
+    half the enrolled rows permanently unreachable (5 enrolled ids ->
+    only 4 candidates).  Ceiling + invalid-slot masking: every live row
+    retrievable, full result set, padded slots never surface."""
+    import serve_embed
+
+    rng = np.random.default_rng(3)
+    f = rng.standard_normal((5, 8)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    store = serve_embed.GalleryStore(
+        8, f, [f"g{i}" for i in range(5)], min_capacity=4
+    )
+    rr = {"top_n": 100, "k1": 3, "k2": 2, "lam": 0.3}
+    res = store.search(f, 5, rerank=rr)
+    assert all(len(r) == 5 for r in res)
+    for i, r in enumerate(res):
+        assert r[0]["id"] == f"g{i}"  # the row itself is retrievable
+        assert {e["id"] for e in r} == {f"g{j}" for j in range(5)}
+        assert all(np.isfinite(e["score"]) for e in r)
+
+
+def test_gallery_incremental_publish_matches_rebuild():
+    """Adds at constant capacity go through the incremental device-update
+    path (O(new rows) transfer); its published buffer must be
+    byte-identical to a from-scratch rebuild, across appends, capacity
+    growth, and removal."""
+    import serve_embed
+
+    rng = np.random.default_rng(7)
+    f = rng.standard_normal((13, 8)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    store = serve_embed.GalleryStore(8, min_capacity=8)
+    for chunk in (f[:3], f[3:4], f[4:8], f[8:]):  # 3+1+4 stay at cap 8
+        start = store.size
+        store.add(chunk, [f"g{start + j}" for j in range(len(chunk))])
+        ref = serve_embed.GalleryStore(
+            8, f[: store.size], [f"g{j}" for j in range(store.size)],
+            min_capacity=8,
+        )
+        assert store.capacity == ref.capacity
+        np.testing.assert_array_equal(
+            np.asarray(store._snap[0]), np.asarray(ref._snap[0])
+        )
+    assert store.remove(["g0"]) == 1  # removal takes the rebuild path
+    res = store.search(f[[12]], 12, rerank={"top_n": 100, "k1": 4, "k2": 2,
+                                            "lam": 0.3})
+    assert res[0][0]["id"] == "g12" and len(res[0]) == 12
+
+
+def test_search_rejects_boolean_top_k(search_served):
+    """JSON true is an int subclass — it must 400, not mean top_k=1."""
+    surl, _, feats = search_served
+    code, body = _post(surl + "/search", {"texts": ["x"], "top_k": True})
+    assert code == 400 and "top_k" in body["error"]
+
+
 def test_search_shapes_are_bucketed(monkeypatch):
     """The jitted ranking sees power-of-two (batch, k) buckets only — novel
     compiles are remote and slow here (CLAUDE.md), so per-request shapes

@@ -382,6 +382,25 @@ def _topk_fn():
     return _TOPK_FN[0]
 
 
+_UPDATE_FN = []
+
+
+def _update_rows_fn():
+    """Shared jitted appender: write a block of rows into the padded
+    device gallery at a traced offset.  Compiled per (capacity, block)
+    pair — both power-of-two-bucketed, so O(log^2 G) executables over a
+    gallery's lifetime."""
+    if not _UPDATE_FN:
+        import jax
+
+        @jax.jit
+        def fn(buf, rows, start):
+            return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+        _UPDATE_FN.append(fn)
+    return _UPDATE_FN[0]
+
+
 class GalleryStore:
     """Mutable serving gallery with TPU-static shapes.
 
@@ -422,9 +441,17 @@ class GalleryStore:
     def capacity(self):
         return int(self._snap[0].shape[0])
 
-    def _publish(self):
+    def _publish(self, new_rows=None):
         """Rebuild the padded device buffer + snapshot (caller holds the
-        lock, or is the constructor)."""
+        lock, or is the constructor).
+
+        ``new_rows``: count of freshly APPENDED rows.  When the capacity
+        is unchanged, only that block transfers to the device
+        (dynamic_update_slice into the existing buffer — a functional
+        copy, so in-flight lock-free searches keep their snapshot) —
+        enrollment is O(new rows), not O(gallery), in host->device
+        traffic, which is seconds per 45k-row re-upload through a
+        tunnel.  Removal and capacity growth re-upload in full (rare)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -432,6 +459,24 @@ class GalleryStore:
         cap = self._min_capacity
         while cap < n:
             cap *= 2
+        if (new_rows and self._snap is not None
+                and cap == int(self._snap[0].shape[0])):
+            start = n - new_rows
+            # pad the appended block to a power-of-two bucket (bounded
+            # compile count); the padding lands in the dead region —
+            # zeros, same as a full rebuild — and must fit under the
+            # capacity so XLA never clamps the slice onto live rows
+            block_rows = 1
+            while block_rows < new_rows:
+                block_rows *= 2
+            if start + block_rows <= cap:
+                block = np.zeros((block_rows, self.dim), np.float32)
+                block[:new_rows] = self._feats[start:]
+                g = _update_rows_fn()(
+                    self._snap[0], jnp.asarray(block), np.int32(start)
+                )
+                self._snap = (g, tuple(self._ids), n)
+                return
         padded = np.zeros((cap, self.dim), np.float32)
         padded[:n] = self._feats
         self._snap = (jnp.asarray(padded), tuple(self._ids), n)
@@ -458,7 +503,7 @@ class GalleryStore:
         with self._lock:
             self._feats = np.concatenate([self._feats, feats])
             self._ids.extend(ids)
-            self._publish()
+            self._publish(new_rows=feats.shape[0])
             return len(self._ids)
 
     def remove(self, ids):
@@ -515,7 +560,19 @@ class GalleryStore:
             from prcv2025reid_tpu.evaluation.rerank import _rerank_full
 
             top_n = int(rerank.get("top_n", 100))
-            cand = top_n if n >= top_n else 1 << (n.bit_length() - 1)
+            if n >= top_n:
+                cand = top_n
+            else:
+                # CEILING power of two (clamped to capacity): every live
+                # row must be reachable — the floor form made up to half
+                # the enrolled gallery unreachable via re-ranked search.
+                # Over-selected slots score -inf (nvalid mask) and are
+                # carried as invalid through the local solve: ranked
+                # last, zero neighborhood influence.
+                cand = 1
+                while cand < n:
+                    cand *= 2
+                cand = min(cand, int(g.shape[0]))
             k = min(k, cand)  # the re-ranked head is the result set
             k1 = min(int(rerank.get("k1", 20)), cand)
             k2 = min(int(rerank.get("k2", 6)), k1 + 1)
@@ -724,7 +781,9 @@ def make_server(port, host, config, engine, batch_items=None, gallery=None,
                             )
                     top_k = req.get("top_k", 10)
                     if self.path == "/search" and not (
-                        isinstance(top_k, int) and top_k >= 1
+                        isinstance(top_k, int)
+                        and not isinstance(top_k, bool)  # JSON true is int 1
+                        and top_k >= 1
                     ):
                         raise BadRequest("'top_k' must be a positive integer")
                     want_rr = False
