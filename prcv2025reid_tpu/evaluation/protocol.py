@@ -106,9 +106,11 @@ def embed_samples(
     for start in range(0, len(indices), batch_size):
         chunk = list(indices[start : start + batch_size])
         n_real = len(chunk)
-        while len(chunk) < batch_size:
-            chunk.append(chunk[-1])
         samples = [dataset.get_query_sample(i, mods, rng) for i in chunk]
+        # pad the tail batch by REUSING the last decoded sample (rows past
+        # n_real are discarded — re-decoding a duplicate per pad row only
+        # burned host time)
+        samples.extend(samples[-1:] * (batch_size - n_real))
         batch = collate(samples, tokenizer)
         if sharding is not None:
             batch = jax.device_put(batch, sharding)  # pytree-aware, one call

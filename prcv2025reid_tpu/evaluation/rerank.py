@@ -186,7 +186,9 @@ def rerank_orders(
     k1: int = 20,
     k2: int = 6,
     lam: float = 0.3,
-    query_chunk: int = 128,
+    query_chunk: int = 512,  # measured optimum at the 45k-gallery scale:
+    # 128 -> 2,387 / 256 -> 3,671 / 512 -> 5,806 / 1024 -> 3,587 queries/s
+    # (dispatch-latency-bound below 512, solve-bound above)
     excl_idx: Optional[np.ndarray] = None,  # [Nq] gallery position, -1 = none
     mesh=None,
 ) -> np.ndarray:

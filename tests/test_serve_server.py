@@ -489,6 +489,105 @@ def test_gallery_store_semantics(tmp_path):
         serve_embed.GalleryStore(8).save()
 
 
+def _fixture_variables():
+    """Rebuild the ``served`` fixture's exact weights (same PRNGKey(0)
+    init) so reload tests can hold the variables the engine closed over."""
+    import jax
+    import jax.numpy as jnp
+
+    from prcv2025reid_tpu.configs import TrainingConfig
+    from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+    config = TrainingConfig(**TINY)
+    model = MultiModalReIDModel(config=config, num_classes=3)
+    Mv, S = len(config.vision_modalities), config.image_size
+    return model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, Mv, S, S, 3), jnp.float32),
+        jnp.ones((2, Mv), jnp.float32),
+        jnp.zeros((2, config.text_context_length), jnp.int32),
+        jnp.ones((2,), jnp.float32),
+        train=False,
+    )
+
+
+def test_admin_reload_hot_swaps_weights(served):
+    """POST /admin/reload goes through the server-side reloader: a raise
+    is a clean 500 with weights untouched; success swaps the served
+    weights (features change), reports a new fingerprint, and counts in
+    /healthz.  A server built without a reloader 404s."""
+    import jax
+
+    import serve_embed
+
+    url, engine, config = served
+    # no reloader on the module fixture's server -> 404
+    code, body = _post(url + "/admin/reload", {})
+    assert code == 404 and "reload" in body["error"]
+
+    texts = ["a person in red"]
+    before = engine.embed_texts(texts)
+    variables = _fixture_variables()
+    scaled = {**variables,
+              "params": jax.tree_util.tree_map(lambda x: x * 1.5,
+                                               variables["params"])}
+    calls = {"n": 0}
+
+    def reloader():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError("checkpoint not ready yet")
+        return scaled if calls["n"] == 2 else variables
+
+    srv = serve_embed.make_server(0, "127.0.0.1", config, engine,
+                                  reloader=reloader)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    rurl = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # 1st: reloader raises -> clean 500, weights untouched
+        code, body = _post(rurl + "/admin/reload", {})
+        assert code == 500 and "reload failed" in body["error"]
+        np.testing.assert_array_equal(engine.embed_texts(texts), before)
+        # 2nd: scaled weights go live — no restart, no recompile
+        code, body = _post(rurl + "/admin/reload", {})
+        assert code == 200 and body["reloaded"] is True
+        fp_scaled = body["weights_fingerprint"]
+        after = engine.embed_texts(texts)
+        assert not np.allclose(before, after)
+        with urllib.request.urlopen(rurl + "/healthz", timeout=60) as r:
+            assert json.loads(r.read())["weights_reloads"] == 1
+        # 3rd: original weights restore the original features exactly
+        code, body = _post(rurl + "/admin/reload", {})
+        assert code == 200 and body["weights_fingerprint"] != fp_scaled
+        np.testing.assert_allclose(engine.embed_texts(texts), before,
+                                   atol=1e-6)
+    finally:
+        engine.reload(variables)  # leave the module-scoped engine pristine
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_metrics_endpoint(served):
+    """/metrics serves Prometheus text with per-route counters that
+    actually advance."""
+    url, _, _ = served
+    _post(url + "/embed", {"texts": ["x"]})
+    with urllib.request.urlopen(url + "/metrics", timeout=60) as r:
+        assert r.status == 200
+        assert "text/plain" in r.headers["Content-Type"]
+        text = r.read().decode()
+    assert 'reid_requests_total{route="/embed",code="200"}' in text
+    assert 'reid_request_seconds_sum{route="/embed"}' in text
+    assert "reid_batch_dispatches_total" in text
+    assert "reid_gallery_size 0" in text
+    # unknown paths bucket under "other" (bounded label cardinality)
+    _post(url + "/does/not/exist", {})
+    with urllib.request.urlopen(url + "/metrics", timeout=60) as r:
+        text2 = r.read().decode()
+    assert 'route="other",code="404"' in text2
+
+
 def test_search_rerank_reaches_every_row_small_gallery():
     """Regression: the re-ranked /search candidate count used the FLOOR
     power of two when the gallery was smaller than top_n, making up to

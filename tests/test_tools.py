@@ -132,6 +132,86 @@ class TestBenchSearch:
         assert e2e["b1_plain_ms"] > 0 and e2e["b16_rerank_ms"] > 0
 
 
+class TestExportServing:
+    def test_roundtrip_matches_live_model(self):
+        """tools/export_serving.py: serialized StableHLO artifacts
+        deserialize in a fresh Exported (no model code on the consumer
+        path) and agree exactly with the live jitted embed graphs —
+        weights travel as baked-in constants."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "export_serving",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "export_serving.py"),
+        )
+        export_serving = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(export_serving)
+
+        from prcv2025reid_tpu.training.train_step import make_combo_embed_step
+
+        config = TrainingConfig(**TINY)
+        model = MultiModalReIDModel(config=config, num_classes=3)
+        B, Mv, S = 2, len(config.vision_modalities), config.image_size
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((B, Mv, S, S, 3), jnp.float32),
+            jnp.ones((B, Mv), jnp.float32),
+            jnp.zeros((B, config.text_context_length), jnp.int32),
+            jnp.ones((B,), jnp.float32),
+            train=False,
+        )
+        graphs = export_serving.export_graphs(
+            config, model, variables, B,
+            graphs=["gallery_vis", "text", "quad"], platforms=("cpu",),
+        )
+        assert graphs["quad"][1] == tuple(config.vision_modalities) + (
+            "text",
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "images": rng.normal(size=(B, Mv, S, S, 3)).astype(np.float32),
+            "image_mask": np.ones((B, Mv), np.float32),
+            "text_tokens": rng.integers(
+                0, config.text_vocab_size,
+                size=(B, config.text_context_length), dtype=np.int32,
+            ),
+            "text_mask": np.ones((B,), np.float32),
+        }
+        for name, (ex, mods) in graphs.items():
+            ex2 = jax.export.deserialize(ex.serialize())
+            assert ex2.platforms == ("cpu",)
+            got = np.asarray(ex2.call(batch))
+            want = np.asarray(
+                make_combo_embed_step(model, mods)(variables, batch)
+            )
+            assert got.shape == (B, config.fusion_dim)
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=name)
+            # normalized features — the serving contract
+            np.testing.assert_allclose(
+                np.linalg.norm(got, axis=1), 1.0, atol=1e-4
+            )
+
+    def test_unknown_graph_is_loud(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "export_serving2",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "export_serving.py"),
+        )
+        export_serving = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(export_serving)
+        config = TrainingConfig(**TINY)
+        model = MultiModalReIDModel(config=config, num_classes=3)
+        with pytest.raises(SystemExit, match="unknown graphs"):
+            export_serving.export_graphs(
+                config, model, {}, 2, graphs=["nope"]
+            )
+
+
 class TestConvertCLI:
     def test_npz_export(self, tmp_path):
         """convert_clip.main writes a flat npz from a random HF snapshot."""

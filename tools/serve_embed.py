@@ -40,6 +40,14 @@ HTTP API (``--serve PORT``):
         body {"ids": [str, ...]} — drops every row with a matching id
     POST /gallery/save        -> {"saved": path, "gallery_size": G}
         atomically rewrites the --serve_gallery npz (path is server-side)
+    POST /admin/reload        -> {"reloaded": true, "weights_fingerprint": f}
+        re-reads the --model_path checkpoint dir and hot-swaps the served
+        weights with ZERO recompiles (graphs take variables as an
+        argument) — a freshly trained checkpoint goes live without a
+        restart; in-flight requests finish on the weights they started on
+    GET  /metrics             -> Prometheus text exposition
+        per-route request counts/latency sums by status code, batcher
+        dispatch/request totals, gallery size, reload count
 """
 import argparse
 import glob as globlib
@@ -100,7 +108,8 @@ def _load_model(model_path, block_impl=None, attn_backend=None, gelu_impl=None):
 import collections
 
 Engine = collections.namedtuple(
-    "Engine", ["embed_pils", "embed_texts", "embed_paths", "embed_queries"]
+    "Engine",
+    ["embed_pils", "embed_texts", "embed_paths", "embed_queries", "reload"],
 )
 
 
@@ -129,6 +138,10 @@ def make_engine(config, model, variables, batch_size, fusion_mode="model"):
     Mv, S = len(config.vision_modalities), config.image_size
     tf = ImageTransform(image_size=S, train=False)
     fns = {}
+    # hot reload (engine.reload) swaps the entry; every jitted graph takes
+    # variables as an ARGUMENT, so a swap never recompiles.  Each embed_*
+    # call snapshots the box once — chunks of one call never mix weights.
+    var_box = [variables]
 
     def _fn(mods):
         if mods not in fns:
@@ -147,6 +160,7 @@ def make_engine(config, model, variables, batch_size, fusion_mode="model"):
     def embed_pils(pil_images, modality):
         slot = list(config.vision_modalities).index(modality)
         fn = _fn((modality,))
+        variables = var_box[0]
         feats = []
         for start in range(0, len(pil_images), B):
             chunk = pil_images[start : start + B]
@@ -198,6 +212,7 @@ def make_engine(config, model, variables, batch_size, fusion_mode="model"):
     def embed_texts(captions):
         tokenizer = _tokenizer()
         fn = _fn(("text",))
+        variables = var_box[0]
         feats = []
         for start in range(0, len(captions), B):
             chunk = list(captions[start : start + B])
@@ -221,6 +236,7 @@ def make_engine(config, model, variables, batch_size, fusion_mode="model"):
         (model.encode_subset semantics, one graph per distinct combo);
         returns [N, fusion_dim] in input order."""
         out = np.zeros((len(query_dicts), config.fusion_dim), np.float32)
+        variables = var_box[0]
         by_combo = {}
         for i, q in enumerate(query_dicts):
             mods = tuple(
@@ -258,7 +274,13 @@ def make_engine(config, model, variables, batch_size, fusion_mode="model"):
                 ]
         return out
 
-    return Engine(embed_pils, embed_texts, embed_paths, embed_queries)
+    def reload(new_variables):
+        """Swap the served weights in place (hot reload — a new checkpoint
+        lands without restarting the server or recompiling any graph).
+        In-flight calls finish on the snapshot they started with."""
+        var_box[0] = new_variables
+
+    return Engine(embed_pils, embed_texts, embed_paths, embed_queries, reload)
 
 
 class MicroBatcher:
@@ -620,7 +642,7 @@ class GalleryStore:
 
 
 def make_server(port, host, config, engine, batch_items=None, gallery=None,
-                rerank=None):
+                rerank=None, reloader=None):
     """Build (without starting) the HTTP embedding server — see the module
     docstring for the API.  Concurrent requests coalesce into shared device
     batches via :class:`MicroBatcher` (concurrency belongs in the batch
@@ -628,18 +650,35 @@ def make_server(port, host, config, engine, batch_items=None, gallery=None,
 
     ``rerank`` — {"top_n","k1","k2","lam", "default": bool} server-side
     k-reciprocal parameters for /search; requests toggle with
-    ``"rerank": true/false`` (falling back to ``default``)."""
+    ``"rerank": true/false`` (falling back to ``default``).
+
+    ``reloader`` — zero-arg callable returning fresh model variables
+    (server-side closure over the checkpoint path — clients never supply
+    a filesystem path); enables ``POST /admin/reload`` to hot-swap
+    weights after a new checkpoint lands, with zero recompiles (the
+    serving graphs take variables as an argument)."""
     import base64
     import io
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from PIL import Image
 
+    import threading
+    import time as timelib
+
     valid_mods = tuple(config.vision_modalities)
     MAX_BODY = 64 * 1024 * 1024  # b64 images batch cap; this host is small
     batcher = MicroBatcher(
         engine, batch_items or config.inference_batch_size
     )
+    # /metrics state: (route, status) -> [count, total_seconds].  Unknown
+    # client paths bucket under "other" so a scanner cannot grow the label
+    # set unboundedly.
+    metrics_lock = threading.Lock()
+    route_stats = {}
+    reload_count = [0]
+    KNOWN_ROUTES = ("/embed", "/search", "/gallery/add", "/gallery/remove",
+                    "/gallery/save", "/admin/reload", "/healthz", "/metrics")
 
     class BadRequest(ValueError):
         pass
@@ -705,6 +744,7 @@ def make_server(port, host, config, engine, batch_items=None, gallery=None,
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
+            self._last_code = code
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -712,7 +752,61 @@ def make_server(port, host, config, engine, batch_items=None, gallery=None,
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_text(self, code, text):
+            self._last_code = code
+            body = text.encode()
+            self.send_response(code)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _record(self, t0):
+            route = self.path if self.path in KNOWN_ROUTES else "other"
+            key = (route, getattr(self, "_last_code", 0))
+            with metrics_lock:
+                st = route_stats.setdefault(key, [0, 0.0])
+                st[0] += 1
+                st[1] += timelib.perf_counter() - t0
+
+        def _metrics_text(self):
+            with metrics_lock:
+                snap = {k: list(v) for k, v in route_stats.items()}
+            lines = ["# TYPE reid_requests_total counter"]
+            for (route, code), (cnt, _) in sorted(snap.items()):
+                lines.append(
+                    f'reid_requests_total{{route="{route}",code="{code}"}} '
+                    f"{cnt}"
+                )
+            agg = {}
+            for (route, _), (_, secs) in snap.items():
+                agg[route] = agg.get(route, 0.0) + secs
+            lines.append("# TYPE reid_request_seconds_sum counter")
+            for route, secs in sorted(agg.items()):
+                lines.append(
+                    f'reid_request_seconds_sum{{route="{route}"}} {secs:.6f}'
+                )
+            lines += [
+                "# TYPE reid_batch_dispatches_total counter",
+                f"reid_batch_dispatches_total {batcher.dispatches}",
+                "# TYPE reid_batch_requests_total counter",
+                f"reid_batch_requests_total {batcher.requests}",
+                "# TYPE reid_gallery_size gauge",
+                f"reid_gallery_size {gallery.size if gallery else 0}",
+                "# TYPE reid_weights_reloads_total counter",
+                f"reid_weights_reloads_total {reload_count[0]}",
+            ]
+            return "\n".join(lines) + "\n"
+
         def do_GET(self):
+            t0 = timelib.perf_counter()
+            try:
+                self._get_inner()
+            finally:
+                self._record(t0)
+
+        def _get_inner(self):
             if self.path == "/healthz":
                 self._send(200, {
                     "status": "ok",
@@ -722,15 +816,54 @@ def make_server(port, host, config, engine, batch_items=None, gallery=None,
                     "batch_dispatches": batcher.dispatches,
                     "batch_requests": batcher.requests,
                     "gallery_size": gallery.size if gallery else 0,
+                    "weights_reloads": reload_count[0],
                 })
+            elif self.path == "/metrics":
+                # Prometheus text exposition — scrape-ready observability
+                self._send_text(200, self._metrics_text())
             else:
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            t0 = timelib.perf_counter()
+            try:
+                self._post_inner()
+            finally:
+                self._record(t0)
+
+        def _post_inner(self):
             routes = ("/embed", "/search", "/gallery/add", "/gallery/remove",
-                      "/gallery/save")
+                      "/gallery/save", "/admin/reload")
             if self.path not in routes:
                 self._send(404, {"error": "unknown path"})
+                return
+            if self.path == "/admin/reload":
+                # server-side closure over the checkpoint path — a client
+                # never supplies a filesystem path
+                if reloader is None:
+                    self._send(404, {"error": "hot reload is not enabled "
+                                     "(server started without a reloader)"})
+                    return
+                try:
+                    new_vars = reloader()
+                except Exception as e:  # bad checkpoint is not a crash
+                    self._send(500, {"error": "reload failed: "
+                                     f"{type(e).__name__}: {e}"})
+                    return
+                engine.reload(new_vars)
+                import hashlib
+
+                import numpy as np
+
+                kern = np.asarray(
+                    new_vars["params"]["bn_neck"]["classifier"]["kernel"]
+                )
+                reload_count[0] += 1
+                self._send(200, {
+                    "reloaded": True,
+                    "weights_fingerprint":
+                        hashlib.md5(kern.tobytes()).hexdigest()[:10],
+                })
                 return
             if self.path != "/embed" and gallery is None:
                 self._send(404, {"error": "no gallery loaded — start the "
@@ -851,7 +984,7 @@ def warmup_engine(config, engine, modalities=None):
 
 
 def run_server(port, host, config, engine, warmup="all", gallery_path=None,
-               rerank=None):
+               rerank=None, reloader=None):
     import os
 
     gallery = None
@@ -878,7 +1011,7 @@ def run_server(port, host, config, engine, warmup="all", gallery_path=None,
         logging.info("warming serving graphs (all modalities + text)...")
         warmup_engine(config, engine)
     srv = make_server(port, host, config, engine, gallery=gallery,
-                      rerank=rerank)
+                      rerank=rerank, reloader=reloader)
     print(json.dumps({"serving": True, "host": host,
                       "port": srv.server_address[1],
                       "gallery_size": gallery.size if gallery else 0}),
@@ -991,7 +1124,13 @@ def main(argv=None):
         }
         run_server(args.serve, args.serve_host, config, engine,
                    warmup=args.warmup, gallery_path=args.serve_gallery,
-                   rerank=rerank)
+                   rerank=rerank,
+                   # POST /admin/reload re-reads the --model_path checkpoint
+                   # dir (same serving-path overrides) and hot-swaps weights
+                   reloader=lambda: _load_model(
+                       args.model_path, args.block_impl, args.attn_backend,
+                       args.gelu_impl,
+                   )[2])
         return
 
     def embed_images(paths):
