@@ -588,6 +588,84 @@ def test_metrics_endpoint(served):
     assert 'route="other",code="404"' in text2
 
 
+def test_artifact_bundle_serves_without_model_code(served, tmp_path):
+    """tools/export_serving.py -> tools/serve_artifact.py round trip: the
+    bundle's deserialized graphs serve the SAME HTTP API and agree with
+    the live engine, with no model/checkpoint code on the consumer path."""
+    import importlib.util
+    import os as oslib
+
+    import jax
+
+    import serve_embed
+
+    def _load_tool(name):
+        spec = importlib.util.spec_from_file_location(
+            name, oslib.path.join(oslib.path.dirname(__file__), "..",
+                                  "tools", f"{name}.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    export_serving = _load_tool("export_serving")
+    serve_artifact = _load_tool("serve_artifact")
+
+    url, engine, config = served
+    variables = _fixture_variables()
+    from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+    model = MultiModalReIDModel(config=config, num_classes=3)
+    export_serving.write_bundle(
+        str(tmp_path), config, model, variables, 4,
+        graphs=["gallery_vis", "text", "quad", "combo_nir+text"],
+        platforms=("cpu",),
+    )
+    shim, graphs = serve_artifact.load_bundle(str(tmp_path))
+    assert set(graphs) == {"gallery_vis", "text", "quad", "combo_nir+text"}
+    assert graphs["combo_nir+text"]["modalities"] == ("nir", "text")
+    aengine = serve_artifact.make_artifact_engine(shim, graphs)
+
+    # numerical agreement with the live engine on every routed path
+    texts = ["a person with a hat", "someone in blue"]
+    np.testing.assert_allclose(
+        aengine.embed_texts(texts), engine.embed_texts(texts), atol=1e-5
+    )
+    img = Image.fromarray(
+        (np.random.default_rng(5).random((40, 30, 3)) * 255).astype(np.uint8)
+    )
+    np.testing.assert_allclose(
+        aengine.embed_pils([img], "vis"), engine.embed_pils([img], "vis"),
+        atol=1e-5,
+    )
+    q = [{"nir": img, "text": "red coat"}]
+    np.testing.assert_allclose(
+        aengine.embed_queries(q), engine.embed_queries(q), atol=1e-5
+    )
+    # a combo the bundle does not provide is a clean error, not garbage
+    with pytest.raises(ValueError, match="no exported graph"):
+        aengine.embed_queries([{"sk": img}])
+    with pytest.raises(RuntimeError, match="immutable"):
+        aengine.reload({})
+
+    # the artifact engine drives the SAME HTTP server implementation
+    gal = aengine.embed_pils([img], "vis")
+    store = serve_embed.GalleryStore(shim.fusion_dim, gal, ["g0"])
+    srv = serve_embed.make_server(0, "127.0.0.1", shim, aengine,
+                                  gallery=store)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    aurl = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _post(aurl + "/embed", {"texts": ["x"]})
+        assert code == 200 and len(body["embeddings"][0]) == shim.fusion_dim
+        code, body = _post(aurl + "/search", {"texts": ["x"], "top_k": 1})
+        assert code == 200 and body["results"][0][0]["id"] == "g0"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_search_rerank_reaches_every_row_small_gallery():
     """Regression: the re-ranked /search candidate count used the FLOOR
     power of two when the gallery was smaller than top_n, making up to

@@ -59,10 +59,18 @@ def export_graphs(config, model, variables, batch_size, graphs=None,
         if m != "vis":
             mods_by_name[f"single_{m}"] = (m,)
     names = list(mods_by_name) if graphs is None else list(graphs)
+    valid = tuple(config.vision_modalities) + ("text",)
+    for n in names:
+        # arbitrary combos export as e.g. combo_nir+text (MM-2/3 queries)
+        if n.startswith("combo_") and n not in mods_by_name:
+            mods = tuple(m for m in valid if m in n[len("combo_"):].split("+"))
+            if mods:
+                mods_by_name[n] = mods
     unknown = [n for n in names if n not in mods_by_name]
     if unknown:
         raise SystemExit(
-            f"unknown graphs {unknown}; available: {sorted(mods_by_name)}"
+            f"unknown graphs {unknown}; available: {sorted(mods_by_name)} "
+            "or combo_<mod+mod+...>"
         )
 
     B, Mv, S = batch_size, len(config.vision_modalities), config.image_size
@@ -91,6 +99,45 @@ def export_graphs(config, model, variables, batch_size, graphs=None,
             mods,
         )
     return out
+
+
+def write_bundle(out_dir, config, model, variables, batch_size, graphs=None,
+                 platforms=("cpu", "tpu")):
+    """Export + write the artifact bundle (manifest.json + *.stablehlo);
+    -> the manifest dict.  The consumer contract is the manifest plus
+    ``jax.export.deserialize`` — see tools/serve_artifact.py for a full
+    HTTP server running from a bundle alone."""
+    exported = export_graphs(config, model, variables, batch_size,
+                             graphs=graphs, platforms=platforms)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {"graphs": {}, "config": {
+        "fusion_dim": config.fusion_dim,
+        "image_size": config.image_size,
+        "vision_modalities": list(config.vision_modalities),
+        "text_context_length": config.text_context_length,
+        "text_vocab_size": config.text_vocab_size,
+        "block_impl": config.block_impl,
+        "attn_backend": config.attn_backend,
+        "gelu_impl": config.gelu_impl,
+    }}
+    for name, (ex, mods) in exported.items():
+        blob = ex.serialize()
+        fname = f"{name}.stablehlo"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(blob)
+        manifest["graphs"][name] = {
+            "file": fname,
+            "modalities": list(mods),
+            "batch": batch_size,
+            "platforms": list(platforms),
+            "fusion_dim": config.fusion_dim,
+            "sha256": hashlib.sha256(blob).hexdigest(),
+            "bytes": len(blob),
+        }
+        print(json.dumps({"exported": name, "bytes": len(blob)}))
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
 
 
 def main(argv=None):
@@ -149,36 +196,8 @@ def main(argv=None):
     B = args.batch_size or config.inference_batch_size
     graphs = args.graphs.split(",") if args.graphs else None
     platforms = tuple(p for p in args.platforms.split(",") if p)
-    exported = export_graphs(config, model, variables, B, graphs=graphs,
-                             platforms=platforms)
-
-    os.makedirs(args.out_dir, exist_ok=True)
-    manifest = {"graphs": {}, "config": {
-        "fusion_dim": config.fusion_dim,
-        "image_size": config.image_size,
-        "vision_modalities": list(config.vision_modalities),
-        "text_context_length": config.text_context_length,
-        "block_impl": config.block_impl,
-        "attn_backend": config.attn_backend,
-        "gelu_impl": config.gelu_impl,
-    }}
-    for name, (ex, mods) in exported.items():
-        blob = ex.serialize()
-        fname = f"{name}.stablehlo"
-        with open(os.path.join(args.out_dir, fname), "wb") as f:
-            f.write(blob)
-        manifest["graphs"][name] = {
-            "file": fname,
-            "modalities": list(mods),
-            "batch": B,
-            "platforms": list(platforms),
-            "fusion_dim": config.fusion_dim,
-            "sha256": hashlib.sha256(blob).hexdigest(),
-            "bytes": len(blob),
-        }
-        print(json.dumps({"exported": name, "bytes": len(blob)}))
-    with open(os.path.join(args.out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    manifest = write_bundle(args.out_dir, config, model, variables, B,
+                            graphs=graphs, platforms=platforms)
 
     if args.verify:
         import jax
