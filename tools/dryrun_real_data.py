@@ -55,6 +55,11 @@ def main(argv=None):
         help="extra TrainingConfig override, repeatable (e.g. "
         "--set use_native_decode=true --set block_impl=fused_int8)",
     )
+    ap.add_argument(
+        "--rerank", action="store_true",
+        help="also run phase 3/4 with k-reciprocal re-ranking (the mAP "
+        "booster the submission would actually ship with)",
+    )
     args = ap.parse_args(argv)
 
     from prcv2025reid_tpu.utils.jax_setup import enable_compile_cache
@@ -122,6 +127,8 @@ def main(argv=None):
     n_dev = trainer.mesh.devices.size
     eval_bs = -(-config.eval_batch_size // n_dev) * n_dev
     eval_sharding = batch_sharding(trainer.mesh) if n_dev > 1 else None
+    rerank = {"top_n": 100, "k1": 20, "k2": 6, "lam": 0.3} \
+        if args.rerank else None
     metrics = evaluate_protocol(
         None, eval_vars, trainer.val_ds, trainer.tokenizer,
         batch_size=eval_bs,
@@ -131,6 +138,7 @@ def main(argv=None):
         embed_factory=trainer.embed_factory,
         sharding=eval_sharding,
         mesh=trainer.mesh,
+        rerank=rerank,
     )
     for key in ("map_single", "map_quad", "map_avg2", "mm1_map", "mm4_map",
                 "cmc1", "cmc5", "cmc10"):
@@ -139,6 +147,9 @@ def main(argv=None):
               f"{metrics.get(key)}")
     check("all 15 MM combos evaluated", len(metrics["detail"]) == 15,
           f"{sorted(metrics['detail'])}")
+    if rerank:
+        check("re-ranked detail carries mAP_plain",
+              all("mAP_plain" in d for d in metrics["detail"].values()))
 
     print("== phase 4: submission export ==")
     sub = os.path.join(work, "submission.csv")
@@ -146,7 +157,7 @@ def main(argv=None):
         None, eval_vars, trainer.val_ds, trainer.tokenizer, sub,
         batch_size=eval_bs, top_k=config.rank_topk,
         embed_factory=trainer.embed_factory, mesh=trainer.mesh,
-        sharding=eval_sharding,
+        sharding=eval_sharding, rerank=rerank,
     )
     lines = open(sub).read().strip().split("\n")
     check("submission row count", len(lines) == n + 1, f"{n} rows")
