@@ -666,6 +666,57 @@ def test_artifact_bundle_serves_without_model_code(served, tmp_path):
         srv.server_close()
 
 
+def test_bundle_ships_tokenizer_vocab(served, tmp_path):
+    """A checkpoint with a BPE vocab exports it INTO the bundle, and the
+    artifact shim resolves it — the consumer cannot silently
+    hash-tokenize a trained model's captions."""
+    import importlib.util
+    import json as jsonlib
+    import os as oslib
+
+    import serve_embed  # noqa: F401 — same module instance as the fixture
+
+    def _load_tool(name, alias):
+        spec = importlib.util.spec_from_file_location(
+            alias, oslib.path.join(oslib.path.dirname(__file__), "..",
+                                   "tools", f"{name}.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    export_serving = _load_tool("export_serving", "export_serving_tok")
+    serve_artifact = _load_tool("serve_artifact", "serve_artifact_tok")
+
+    vdir = tmp_path / "vocab"
+    vdir.mkdir()
+    (vdir / "vocab.json").write_text(jsonlib.dumps({"a": 0}))
+    (vdir / "merges.txt").write_text("#version\n")
+
+    _, _, config = served
+    config2 = config.replace(tokenizer_vocab_path=str(vdir))
+    from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+    model = MultiModalReIDModel(config=config2, num_classes=3)
+    variables = _fixture_variables()
+    bdir = tmp_path / "bundle"
+    manifest = export_serving.write_bundle(
+        str(bdir), config2, model, variables, 2,
+        graphs=["gallery_vis"], platforms=("cpu",),
+    )
+    assert manifest["config"]["tokenizer"] == "tokenizer"
+    assert (bdir / "tokenizer" / "vocab.json").exists()
+    assert (bdir / "tokenizer" / "merges.txt").exists()
+    shim, _ = serve_artifact.load_bundle(str(bdir))
+    assert shim.tokenizer_vocab_path == str(bdir / "tokenizer")
+    # a vocab-less checkpoint (the smoke/test config) records null
+    manifest2 = export_serving.write_bundle(
+        str(tmp_path / "b2"), config, model, variables, 2,
+        graphs=["gallery_vis"], platforms=("cpu",),
+    )
+    assert manifest2["config"]["tokenizer"] is None
+
+
 def test_search_rerank_reaches_every_row_small_gallery():
     """Regression: the re-ranked /search candidate count used the FLOOR
     power of two when the gallery was smaller than top_n, making up to

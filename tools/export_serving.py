@@ -103,13 +103,31 @@ def export_graphs(config, model, variables, batch_size, graphs=None,
 
 def write_bundle(out_dir, config, model, variables, batch_size, graphs=None,
                  platforms=("cpu", "tpu")):
-    """Export + write the artifact bundle (manifest.json + *.stablehlo);
-    -> the manifest dict.  The consumer contract is the manifest plus
+    """Export + write the artifact bundle (manifest.json + *.stablehlo +
+    the tokenizer vocab when the checkpoint has one); -> the manifest
+    dict.  The consumer contract is the manifest plus
     ``jax.export.deserialize`` — see tools/serve_artifact.py for a full
     HTTP server running from a bundle alone."""
+    import shutil
+
     exported = export_graphs(config, model, variables, batch_size,
                              graphs=graphs, platforms=platforms)
     os.makedirs(out_dir, exist_ok=True)
+    # self-contained text path: a trained model's captions MUST go through
+    # the same BPE vocab it trained with — ship it in the bundle so the
+    # consumer cannot silently hash-tokenize (data/tokenizer.py invariant)
+    tok_rel = None
+    vocab_dir = getattr(config, "tokenizer_vocab_path", None)
+    if vocab_dir:
+        if os.path.isfile(vocab_dir):
+            vocab_dir = os.path.dirname(vocab_dir)
+        tok_dir = os.path.join(out_dir, "tokenizer")
+        os.makedirs(tok_dir, exist_ok=True)
+        for fname in ("vocab.json", "merges.txt"):
+            src = os.path.join(vocab_dir, fname)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(tok_dir, fname))
+                tok_rel = "tokenizer"
     manifest = {"graphs": {}, "config": {
         "fusion_dim": config.fusion_dim,
         "image_size": config.image_size,
@@ -119,6 +137,7 @@ def write_bundle(out_dir, config, model, variables, batch_size, graphs=None,
         "block_impl": config.block_impl,
         "attn_backend": config.attn_backend,
         "gelu_impl": config.gelu_impl,
+        "tokenizer": tok_rel,
     }}
     for name, (ex, mods) in exported.items():
         blob = ex.serialize()

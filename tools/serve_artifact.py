@@ -62,6 +62,7 @@ def load_bundle(artifact_dir):
             ex = jax.export.deserialize(f.read())
         graphs[name] = {"call": ex.call, "modalities": tuple(meta["modalities"]),
                         "batch": int(meta["batch"])}
+    tok_rel = cfg.get("tokenizer")
     config = types.SimpleNamespace(
         vision_modalities=tuple(cfg["vision_modalities"]),
         fusion_dim=int(cfg["fusion_dim"]),
@@ -69,6 +70,9 @@ def load_bundle(artifact_dir):
         text_context_length=int(cfg["text_context_length"]),
         text_vocab_size=int(cfg.get("text_vocab_size", 49408)),
         inference_batch_size=min(g["batch"] for g in graphs.values()),
+        tokenizer_vocab_path=(
+            os.path.join(artifact_dir, tok_rel) if tok_rel else None
+        ),
     )
     return config, graphs
 
@@ -101,9 +105,19 @@ def make_artifact_engine(config, graphs, tokenizer_vocab=None):
 
     def _tokenizer():
         if not tokenizer_box:
+            vocab = tokenizer_vocab or getattr(
+                config, "tokenizer_vocab_path", None
+            )
+            if vocab is None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "no tokenizer vocab in the bundle or --tokenizer_vocab "
+                    "— text requests will HASH-tokenize, which is only "
+                    "valid for models trained the same way"
+                )
             tokenizer_box.append(build_tokenizer(
-                tokenizer_vocab, config.text_vocab_size,
-                config.text_context_length,
+                vocab, config.text_vocab_size, config.text_context_length,
             ))
         return tokenizer_box[0]
 
@@ -218,8 +232,10 @@ def main(argv=None):
                     help="0 = ephemeral port")
     ap.add_argument("--serve_host", default="127.0.0.1")
     ap.add_argument("--tokenizer_vocab", default=None,
-                    help="CLIP vocab path (HF snapshot dir or vocab files); "
-                    "text requests hash-tokenize without it")
+                    help="CLIP vocab dir — overrides the vocab shipped "
+                    "inside the bundle (export_serving copies the "
+                    "checkpoint's vocab in); with neither, text requests "
+                    "hash-tokenize (smoke models only — warned loudly)")
     ap.add_argument("--serve_gallery", default=None, metavar="FEATS_NPZ")
     ap.add_argument("--search_rerank", action="store_true")
     ap.add_argument("--search_rerank_top_n", type=int, default=100)
