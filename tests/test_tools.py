@@ -193,6 +193,57 @@ class TestExportServing:
                 np.linalg.norm(got, axis=1), 1.0, atol=1e-4
             )
 
+    def test_weighted_fusion_mode(self):
+        """fusion_mode='weighted' exports multi-modal graphs through the
+        reference FeatureExtractor's weighted sum — same dispatch rule as
+        the live server."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "export_serving_w",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "export_serving.py"),
+        )
+        export_serving = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(export_serving)
+
+        from prcv2025reid_tpu.training.train_step import (
+            make_weighted_embed_step,
+        )
+
+        config = TrainingConfig(**TINY)
+        model = MultiModalReIDModel(config=config, num_classes=3)
+        B, Mv, S = 2, len(config.vision_modalities), config.image_size
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((B, Mv, S, S, 3), jnp.float32),
+            jnp.ones((B, Mv), jnp.float32),
+            jnp.zeros((B, config.text_context_length), jnp.int32),
+            jnp.ones((B,), jnp.float32),
+            train=False,
+        )
+        graphs = export_serving.export_graphs(
+            config, model, variables, B, graphs=["quad"],
+            platforms=("cpu",), fusion_mode="weighted",
+        )
+        ex, mods = graphs["quad"]
+        rng = np.random.default_rng(1)
+        batch = {
+            "images": rng.normal(size=(B, Mv, S, S, 3)).astype(np.float32),
+            "image_mask": np.ones((B, Mv), np.float32),
+            "text_tokens": rng.integers(
+                0, config.text_vocab_size,
+                size=(B, config.text_context_length), dtype=np.int32,
+            ),
+            "text_mask": np.ones((B,), np.float32),
+        }
+        got = np.asarray(jax.export.deserialize(ex.serialize()).call(batch))
+        want = np.asarray(
+            make_weighted_embed_step(model, mods)(variables, batch)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_unknown_graph_is_loud(self):
         import importlib.util
         import os

@@ -42,16 +42,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def export_graphs(config, model, variables, batch_size, graphs=None,
-                  platforms=("cpu", "tpu")):
+                  platforms=("cpu", "tpu"), fusion_mode="model"):
     """-> {name: (Exported, modalities tuple)} for the requested graphs.
 
     Default graph set: ``gallery_vis`` (the 45k-image volume path), every
     single non-vis modality, ``text``, and ``quad`` (every vision modality
     + text — the MM-4 query).  Weights are baked in as constants, so the
-    export is the whole serving contract."""
+    export is the whole serving contract.  ``fusion_mode="weighted"``
+    exports multi-modal combos through the reference FeatureExtractor's
+    weighted sum instead of the model's fusion module (same dispatch rule
+    as the live server/eval CLI: single-modality graphs are identical
+    either way)."""
     import jax
 
-    from prcv2025reid_tpu.training.train_step import make_combo_embed_step
+    from prcv2025reid_tpu.training.train_step import (
+        make_combo_embed_step,
+        make_weighted_embed_step,
+    )
+
+    if fusion_mode not in ("model", "weighted"):
+        raise SystemExit(f"unknown fusion_mode {fusion_mode!r}")
 
     mods_by_name = {"gallery_vis": ("vis",), "text": ("text",),
                     "quad": tuple(config.vision_modalities) + ("text",)}
@@ -87,7 +97,10 @@ def export_graphs(config, model, variables, batch_size, graphs=None,
     out = {}
     for name in names:
         mods = mods_by_name[name]
-        step = make_combo_embed_step(model, mods)
+        if fusion_mode == "weighted" and len(mods) > 1:
+            step = make_weighted_embed_step(model, mods)
+        else:
+            step = make_combo_embed_step(model, mods)
 
         def fn(batch, _step=step):
             return _step(variables, batch)  # weights -> artifact constants
@@ -102,7 +115,7 @@ def export_graphs(config, model, variables, batch_size, graphs=None,
 
 
 def write_bundle(out_dir, config, model, variables, batch_size, graphs=None,
-                 platforms=("cpu", "tpu")):
+                 platforms=("cpu", "tpu"), fusion_mode="model"):
     """Export + write the artifact bundle (manifest.json + *.stablehlo +
     the tokenizer vocab when the checkpoint has one); -> the manifest
     dict.  The consumer contract is the manifest plus
@@ -111,7 +124,8 @@ def write_bundle(out_dir, config, model, variables, batch_size, graphs=None,
     import shutil
 
     exported = export_graphs(config, model, variables, batch_size,
-                             graphs=graphs, platforms=platforms)
+                             graphs=graphs, platforms=platforms,
+                             fusion_mode=fusion_mode)
     os.makedirs(out_dir, exist_ok=True)
     # self-contained text path: a trained model's captions MUST go through
     # the same BPE vocab it trained with — ship it in the bundle so the
@@ -137,6 +151,7 @@ def write_bundle(out_dir, config, model, variables, batch_size, graphs=None,
         "block_impl": config.block_impl,
         "attn_backend": config.attn_backend,
         "gelu_impl": config.gelu_impl,
+        "fusion_mode": fusion_mode,
         "tokenizer": tok_rel,
     }}
     for name, (ex, mods) in exported.items():
@@ -189,6 +204,12 @@ def main(argv=None):
         "--gelu_impl", default=None, choices=("erf", "tanh", "poly"),
     )
     ap.add_argument(
+        "--fusion_mode", default="model", choices=("model", "weighted"),
+        help="multi-modal combo fusion: the model's fusion module (default) "
+        "or the reference FeatureExtractor's weighted sum (text 1.2) — "
+        "mirrors the live server's --fusion_mode",
+    )
+    ap.add_argument(
         "--verify", action="store_true",
         help="after writing: deserialize every artifact from disk, run it "
         "on random inputs, and require exact agreement with the live model",
@@ -216,13 +237,17 @@ def main(argv=None):
     graphs = args.graphs.split(",") if args.graphs else None
     platforms = tuple(p for p in args.platforms.split(",") if p)
     manifest = write_bundle(args.out_dir, config, model, variables, B,
-                            graphs=graphs, platforms=platforms)
+                            graphs=graphs, platforms=platforms,
+                            fusion_mode=args.fusion_mode)
 
     if args.verify:
         import jax
         import numpy as np
 
-        from prcv2025reid_tpu.training.train_step import make_combo_embed_step
+        from prcv2025reid_tpu.training.train_step import (
+            make_combo_embed_step,
+            make_weighted_embed_step,
+        )
 
         rng = np.random.default_rng(0)
         Mv, S = len(config.vision_modalities), config.image_size
@@ -239,7 +264,11 @@ def main(argv=None):
             with open(os.path.join(args.out_dir, meta["file"]), "rb") as f:
                 ex = jax.export.deserialize(f.read())
             got = np.asarray(ex.call(batch))
-            step = make_combo_embed_step(model, tuple(meta["modalities"]))
+            mods = tuple(meta["modalities"])
+            if args.fusion_mode == "weighted" and len(mods) > 1:
+                step = make_weighted_embed_step(model, mods)
+            else:
+                step = make_combo_embed_step(model, mods)
             want = np.asarray(step(variables, batch))
             np.testing.assert_allclose(got, want, atol=1e-6, err_msg=name)
             print(json.dumps({"verified": name, "max_abs_err":
