@@ -188,6 +188,16 @@ class TrainingConfig:
     # Pallas fused attention: measured SLOWER than the transpose-free XLA
     # einsum path on v5e at S=197 (docs/performance.md); kernels kept for
     # future tuning. 'False' selects the XLA path everywhere.
+    # ----- multi-host runtime (no reference counterpart; SURVEY §5.8) -----
+    # "off" (default) = single-process.  "auto" = jax.distributed.initialize()
+    # only when a coordinator is discoverable (flag below or a managed-pod env
+    # var) — safe to bake into launch scripts.  "on" = always initialize
+    # (bare-metal multi-host: also set the three flags below on each host).
+    # utils/distributed.py; train.py calls this before any device use.
+    distributed: str = "off"
+    coordinator_address: Optional[str] = None  # process 0's host:port
+    num_processes: Optional[int] = None  # world size; None = auto-detect
+    process_id: Optional[int] = None  # this process's rank; None = auto-detect
     use_pallas_attention: bool = False
     # attention core backend when use_pallas_attention is off: "xla" (einsum,
     # default), "splash" (upstream Mosaic flash kernel, S padded to 128
@@ -313,6 +323,10 @@ class TrainingConfig:
             raise ValueError(
                 "use_pallas_attention=True conflicts with "
                 f"attn_backend={self.attn_backend!r} — pick one attention core"
+            )
+        if self.distributed not in ("off", "auto", "on"):
+            raise ValueError(
+                f"distributed={self.distributed!r}; valid: ['auto', 'off', 'on']"
             )
         if self.gelu_impl not in ("erf", "tanh", "poly"):
             raise ValueError(

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from prcv2025reid_tpu.data.dataset import MultiModalDataset
+from prcv2025reid_tpu.utils.distributed import fetch_global, is_main_process
 
 NONVIS = ("nir", "sk", "cp", "text")
 KIND_NAME = {1: "single", 2: "double", 3: "triple", 4: "quad"}
@@ -100,7 +101,10 @@ def embed_samples(
 
     def _collect(p):
         feats, n_real, pids = p
-        feats_out.append(np.asarray(feats)[:n_real])
+        # fetch_global: plain np.asarray single-process; on a multi-host
+        # mesh the GSPMD-sharded features live partly on other hosts and
+        # are gathered over DCN (utils/distributed.py)
+        feats_out.append(fetch_global(feats)[:n_real])
         pids_out.append(pids[:n_real])
 
     for start in range(0, len(indices), batch_size):
@@ -279,11 +283,11 @@ def compute_retrieval_metrics(
             bi,
             topk_cmc,
         )
-        ap_l.append(np.asarray(ap)[:n_real])
-        hr_l.append(np.asarray(hr)[:n_real])
-        t1_l.append(np.asarray(t1)[:n_real])
+        ap_l.append(fetch_global(ap)[:n_real])
+        hr_l.append(fetch_global(hr)[:n_real])
+        t1_l.append(fetch_global(t1)[:n_real])
         for k, h in zip(topk_cmc, cmc_hits):
-            cmc_l[k].append(np.asarray(h)[:n_real])
+            cmc_l[k].append(fetch_global(h)[:n_real])
 
     ap = np.concatenate(ap_l)
     has_rel = np.concatenate(hr_l)
@@ -411,7 +415,7 @@ class GalleryCache:
         h = hashlib.md5(np.asarray(indices, np.int64).tobytes()).hexdigest()[:12]
         return os.path.join(self.cache_dir, f"gallery_{self.tag}_{len(indices)}_{h}.npz")
 
-    def load(self, indices) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    def _load_local(self, indices) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         p = self._path(indices)
         try:
             z = np.load(p)
@@ -421,10 +425,54 @@ class GalleryCache:
             # our check and the read — treat as a miss and re-embed
             return None
 
+    def load(self, indices) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        if jax.process_count() == 1:
+            return self._load_local(indices)
+        # multi-host: process 0 is the cache AUTHORITY.  A cache miss leads
+        # straight into the collective sharded embed, so a hit/miss
+        # disagreement between processes (shared-filesystem visibility lag)
+        # would leave some processes inside the collective and others past
+        # it — a hang.  Process 0 decides; hits are broadcast over DCN
+        # (gallery features are [N, 512] f32 — tens of MB once per eval).
+        from jax.experimental import multihost_utils
+
+        local = self._load_local(indices) if is_main_process() else None
+        if local is not None:
+            hdr = np.asarray(
+                [1, local[0].shape[0], local[0].shape[1]], np.int64
+            )
+        else:
+            hdr = np.zeros(3, np.int64)
+        hdr = np.asarray(multihost_utils.broadcast_one_to_all(hdr))
+        if hdr[0] == 0:
+            return None
+        n, d = int(hdr[1]), int(hdr[2])
+        feats = (
+            np.asarray(local[0], np.float32)
+            if local is not None
+            else np.zeros((n, d), np.float32)
+        )
+        pids = (
+            np.asarray(local[1], np.int64)
+            if local is not None
+            else np.zeros((n,), np.int64)
+        )
+        feats = np.asarray(multihost_utils.broadcast_one_to_all(feats))
+        pids = np.asarray(multihost_utils.broadcast_one_to_all(pids))
+        return feats, pids
+
     def save(self, indices, feats: np.ndarray, pids: np.ndarray):
+        if not is_main_process():
+            return  # one writer; readers go through the broadcast in load()
         os.makedirs(self.cache_dir, exist_ok=True)
-        np.savez(self._path(indices), feats=feats, pids=pids)
-        self._evict(protect=self._path(indices))
+        p = self._path(indices)
+        # atomic: a concurrent reader (another eval process on this host)
+        # must never observe a truncated npz
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, feats=feats, pids=pids)
+        os.replace(tmp, p)
+        self._evict(protect=p)
 
     def _evict(self, protect: str):
         if self.keep_newest is None or self.keep_newest < 1:
@@ -682,7 +730,7 @@ def export_submission_csv(
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 _, idx = jax.lax.top_k(sims_c, k_eff)
-            order_chunks.append(np.asarray(idx)[:n_real])
+            order_chunks.append(fetch_global(idx)[:n_real])
         order = np.concatenate(order_chunks)
         for qi, record_idx in enumerate(q_indices):
             rec = dataset.records[record_idx]
@@ -691,9 +739,12 @@ def export_submission_csv(
             ranked = " ".join(g_ids[j] for j in order[qi])
             rows.append((query_key, ranked))
 
-    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
-    with open(output_path, "w") as f:
-        f.write("query_key,ranked_gallery_ids\n")
-        for key, ranked in rows:
-            f.write(f"{key},{ranked}\n")
+    # multi-host: every process ranks (the embeds/top-k above are
+    # collective) but exactly one writes the shared CSV
+    if is_main_process():
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+        with open(output_path, "w") as f:
+            f.write("query_key,ranked_gallery_ids\n")
+            for key, ranked in rows:
+                f.write(f"{key},{ranked}\n")
     return len(rows)

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from prcv2025reid_tpu.evaluation.protocol import _chunk_rows as _bucket_rows
+from prcv2025reid_tpu.utils.distributed import fetch_global
 
 # distance assigned to masked-out candidates: large enough that
 # exp(-_BIG) underflows to exactly 0.0 in f32 (no Gaussian weight) and
@@ -255,5 +256,5 @@ def rerank_orders(
             ranked, _ = _rerank_full(
                 qd, g_dev, exd, None, lam_arr, k1, k2, n_eff
             )
-        out[sl] = np.asarray(ranked)[:n_real]
+        out[sl] = fetch_global(ranked)[:n_real]
     return out

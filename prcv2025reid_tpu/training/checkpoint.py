@@ -21,6 +21,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from prcv2025reid_tpu.training.train_step import TrainState
+from prcv2025reid_tpu.utils.distributed import barrier, is_main_process
 
 HOST_STATE_FILE = "host_state.json"
 
@@ -84,9 +85,14 @@ def finalize_pending_saves():
     while _PENDING:
         ckptr, staging, path, host_state = _PENDING.pop(0)
         ckptr.wait_until_finished()
-        with open(os.path.join(staging, HOST_STATE_FILE), "w") as f:
-            json.dump(host_state, f, default=_default)
-        _swap_into_place(staging, path)
+        # multi-host: every process's shard write must be durable before
+        # process 0 promotes the staging dir (no-op single-process)
+        barrier("ckpt-commit")
+        if is_main_process():
+            with open(os.path.join(staging, HOST_STATE_FILE), "w") as f:
+                json.dump(host_state, f, default=_default)
+            _swap_into_place(staging, path)
+        barrier("ckpt-swapped")
 
 
 def save_checkpoint(
@@ -114,8 +120,13 @@ def save_checkpoint(
     finalize_pending_saves()  # order saves; at most one in flight
     path = os.path.abspath(os.path.join(directory, name))
     staging = path + ".tmp"
-    if os.path.isdir(staging):
+    # multi-host: directory mutations are process 0's (directory is shared
+    # storage); the orbax save below stays COLLECTIVE — each process writes
+    # its addressable shards — so every process must see a clean staging
+    # dir before any of them starts writing
+    if is_main_process() and os.path.isdir(staging):
         shutil.rmtree(staging)
+    barrier("ckpt-staging-clean")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(staging, "state"), state, force=True)
     host_state = dict(host_state)
@@ -131,9 +142,12 @@ def save_checkpoint(
         _PENDING.append((ckptr, staging, path, host_state))
         return
     ckptr.wait_until_finished()
-    with open(os.path.join(staging, HOST_STATE_FILE), "w") as f:
-        json.dump(host_state, f, default=_default)
-    _swap_into_place(staging, path)
+    barrier("ckpt-commit")
+    if is_main_process():
+        with open(os.path.join(staging, HOST_STATE_FILE), "w") as f:
+            json.dump(host_state, f, default=_default)
+        _swap_into_place(staging, path)
+    barrier("ckpt-swapped")
 
 
 def restore_checkpoint(
@@ -149,7 +163,9 @@ def restore_checkpoint(
     """
     finalize_pending_saves()  # never read past an in-flight write
     path = os.path.abspath(os.path.join(directory, name))
-    _recover_interrupted_swap(path)
+    if is_main_process():
+        _recover_interrupted_swap(path)
+    barrier("ckpt-recovered")
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
     state_path = os.path.join(path, "state")
@@ -191,7 +207,9 @@ def restore_checkpoint(
 def latest_checkpoint_exists(directory: str, name: str = "latest") -> bool:
     path = os.path.abspath(os.path.join(directory, name))
     try:
-        _recover_interrupted_swap(path)
+        if is_main_process():
+            _recover_interrupted_swap(path)
     except OSError:
         pass
+    barrier("ckpt-exists")
     return _is_complete(path)

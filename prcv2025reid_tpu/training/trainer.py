@@ -53,6 +53,7 @@ from prcv2025reid_tpu.training.param_groups import (
     set_plateau_scale,
 )
 from prcv2025reid_tpu.training.schedulers import PlateauScheduler, SDMScheduler
+from prcv2025reid_tpu.utils.distributed import is_main_process
 from prcv2025reid_tpu.training.train_step import (
     RING_CHANNELS,
     TrainState,
@@ -203,8 +204,12 @@ class Trainer:
             PlateauScheduler.from_config(config) if config.scheduler == "plateau" else None
         )
         # separate event dirs per history — tensorboardX names event files by
-        # whole-second timestamp, so two writers in one dir collide
-        tb = config.tensorboard
+        # whole-second timestamp, so two writers in one dir collide.
+        # Multi-host: only process 0 writes event files / CSV histories
+        # (log_dir may be shared storage; N writers of whole-file rewrites
+        # are a race) — every process still ACCUMULATES history rows so a
+        # later promotion to main (resume on new topology) has them.
+        tb = config.tensorboard and is_main_process()
         self.train_history = MetricsHistory(
             os.path.join(config.log_dir, "tb", "train") if tb else None,
             tag_prefix="train/",
@@ -567,8 +572,13 @@ class Trainer:
                     cfg.save_dir, self.state, self._host_state(epoch),
                     name=f"epoch_{epoch}", block=block,
                 )
-            self.train_history.to_csv(os.path.join(cfg.log_dir, "train_history.csv"))
-            self.eval_history.to_csv(os.path.join(cfg.log_dir, "eval_history.csv"))
+            if is_main_process():
+                self.train_history.to_csv(
+                    os.path.join(cfg.log_dir, "train_history.csv")
+                )
+                self.eval_history.to_csv(
+                    os.path.join(cfg.log_dir, "eval_history.csv")
+                )
 
         # sampler-stability report (train.py:1766-1783)
         batch_report = self.batch_counts.summary()

@@ -26,16 +26,29 @@ def main(argv=None):
             argv.remove(arg)
     config = apply_cli_overrides(config, argv)
 
+    # multi-host: must run before anything touches devices (a lazily
+    # initialized backend cannot be re-initialized) — utils/distributed.py
+    from prcv2025reid_tpu.utils.distributed import (
+        initialize_from_config,
+        is_main_process,
+    )
+
+    initialize_from_config(config)
+
     import os
 
     os.makedirs(config.log_dir, exist_ok=True)
+    # only process 0 writes training.log (log_dir may be shared storage);
+    # every process still logs to its own console stream
+    handlers = [logging.StreamHandler()]
+    if is_main_process():
+        handlers.append(
+            logging.FileHandler(f"{config.log_dir}/training.log", delay=True)
+        )
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
-        handlers=[
-            logging.StreamHandler(),
-            logging.FileHandler(f"{config.log_dir}/training.log", delay=True),
-        ],
+        handlers=handlers,
     )
 
     trainer = Trainer(config)
