@@ -99,6 +99,15 @@ def main(argv=None):
         help="--no-exclude_same_image disables the anchor-exclusion protocol",
     )
     ap.add_argument(
+        "--distributed", choices=("off", "auto", "on"), default="off",
+        help="multi-host eval/submission on a pod: jax.distributed init "
+        "before any device use (utils/distributed.py; same semantics as "
+        "the train CLI's --distributed)",
+    )
+    ap.add_argument("--coordinator_address", default=None)
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
+    ap.add_argument(
         "--eval_split", choices=("all", "val", "train"), default="all",
         help="'all' evaluates every identity under dataset_root (the "
         "reference tool's behavior — correct for a held-out competition test "
@@ -111,6 +120,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+
+    # multi-host: must precede the first device query (model init below);
+    # argparse Namespace duck-types the config fields the helper reads
+    from prcv2025reid_tpu.utils.distributed import initialize_from_config
+
+    initialize_from_config(args)
 
     # config comes from the checkpoint sidecar so the model matches exactly
     with open(os.path.join(args.model_path, "host_state.json")) as f:
