@@ -6,7 +6,7 @@ TPU (bf16).  The measured path is the real gallery/query embedding used by the
 MM protocol: single-modality ('vis') encode through the MER ViT-B/16 trunk +
 fusion + BN-neck, L2-normalized.
 
-A non-default compute path (fused int8 kernels, onesaug attention, tanh GELU)
+A non-default compute path (onesaug attention, tanh GELU, fused int8 kernels)
 may only become the headline number if it passes BOTH promotion gates vs the
 default XLA path:
   1. embedding parity: min cosine >= 0.999 on a probe batch;
@@ -14,6 +14,16 @@ default XLA path:
      0.005 on a structured synthetic retrieval set (64 ids x 18 instances
      gallery, 128 queries) — the product metric is ranking order
      (reference train.py:450-479), which cosine alone does not pin.
+
+Structure (round 4): the round-3 run timed out before printing anything
+because it compiled FIVE model variants (each through a 30 s - 30 min remote
+compile service) before the single JSON line.  Now the critical path is
+exactly two variants — `xla` (the reference/fallback) and the recorded
+round-3 winner `onesaug_tanh` — gated immediately, JSON printed, and only
+then (behind PRCV_BENCH_EXTRA=1) are exploratory paths measured.  The
+twice-demoted fused_int8 variants are out of the default set; re-checking
+them belongs to tools/toolchain_watch.py.  Every phase stamps its wall time
+to stderr so a timeout is attributable.
 
 Measurement notes: the dispatch path to the chip can have tens of ms of
 per-call latency (remote tunnel) and async readiness signals that make
@@ -26,6 +36,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import sys
 import time
+
+_T0 = time.perf_counter()
+
+
+def stamp(msg: str):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
 
 # measurement-path name -> TrainingConfig overrides.  Every entry changes
 # NUMERICS as well as speed, so each is gated before it can win (see above).
@@ -68,17 +86,26 @@ def main():
     # 128, 3,064 at 192 — docs/performance.md batch sweep)
     B = int(os.environ.get("PRCV_BENCH_BATCH", 160 if on_tpu else 4))
     N_ITERS = 10 if on_tpu else 2
-    # fused_int8 was the round-2 winner; onesaug attention + tanh GELU are
-    # the round-3 candidates (docs/performance.md) — all gated below.
-    default_impls = "fused_int8,onesaug,onesaug_tanh,fused_int8_onesaug" \
-        if on_tpu else ""
-    extra_impls = [
+    # CRITICAL-PATH candidates only: the recorded round-3 winner.  The
+    # fused_int8 variants are twice-demoted by the ranking gate (overlap
+    # 0.956-0.958 < 0.97, docs/performance.md) — exploring them is
+    # PRCV_BENCH_EXTRA / toolchain_watch territory, not headline-path work.
+    default_impls = "onesaug_tanh" if on_tpu else ""
+    candidates = [
         s
         for s in os.environ.get("PRCV_BENCH_IMPLS", default_impls).split(",")
-        if s
+        if s and s != "xla"
     ]
     if os.environ.get("PRCV_BENCH_PALLAS", "0") == "1":
-        extra_impls.append("pallas")
+        candidates.append("pallas")
+    extra_impls = [
+        s for s in os.environ.get(
+            "PRCV_BENCH_EXTRA_IMPLS",
+            "onesaug,fused_int8,fused_int8_onesaug",
+        ).split(",")
+        if s and s != "xla" and s not in candidates
+    ]
+    run_extras = os.environ.get("PRCV_BENCH_EXTRA", "0") == "1"
     run_rank_gate = os.environ.get("PRCV_BENCH_RANKGATE", "1") == "1"
 
     # optional model-family override (clip-vit-base-patch16 is the headline;
@@ -169,8 +196,10 @@ def main():
         return np.concatenate(out)
 
     def measure(impl: str):
+        stamp(f"{impl}: build + compile start")
         bench_fn, embed_batch, variables, images, S = build(impl)
         _ = float(bench_fn(variables, images))  # compile + warm
+        stamp(f"{impl}: compile done, measuring")
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
@@ -179,86 +208,78 @@ def main():
             assert np.isfinite(checksum)
             best = max(best, B * N_ITERS / dt)
         probe = np.asarray(embed_batch(variables, images), np.float64)[:8]
+        stamp(f"{impl}: {best:.1f} embeds/s")
         return best, probe, (embed_batch, variables, S)
 
+    # --- phase 1: the reference path (always the fallback headline) ---
     results, probes, embedders = {}, {}, {}
-    for impl in [*extra_impls, "xla"]:
-        try:
-            results[impl], probes[impl], embedders[impl] = measure(impl)
-        except Exception as e:
-            print(f"{impl} path failed: {type(e).__name__}: {e}", file=sys.stderr)
-    measured = dict(results)  # pre-gate numbers, for the stderr report
+    results["xla"], probes["xla"], embedders["xla"] = measure("xla")
 
-    if "xla" not in probes:
-        # no reference embeddings — nothing non-default can be validated, so
-        # nothing non-default may win
-        for impl in list(results):
-            if impl != "xla":
-                print(f"{impl} excluded: xla reference probe unavailable",
-                      file=sys.stderr)
-                del results[impl]
-    else:
-        ref = probes["xla"]
-        ref_n = ref / (np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-12)
-        for impl in list(results):
-            if impl == "xla":
-                continue
-            out = probes[impl]
-            out_n = out / (np.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
-            cos = float((ref_n * out_n).sum(-1).min())
-            print(f"{impl} vs xla embedding min-cosine: {cos:.6f}", file=sys.stderr)
-            if cos < 0.999:
-                print(f"{impl} fails the cosine gate — excluded", file=sys.stderr)
-                del results[impl]
+    ref = probes["xla"]
+    ref_n = ref / (np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-12)
+    rank_ref = {}  # lazily computed xla gallery/query embeddings
 
-        # ranking-equivalence gate for every surviving non-default path
-        survivors = [i for i in results if i != "xla"]
-        if survivors and not run_rank_gate:
+    def gate(impl: str, probe, embedder) -> bool:
+        """Both promotion gates vs xla; True = may become the headline."""
+        out_n = probe / (np.linalg.norm(probe, axis=-1, keepdims=True) + 1e-12)
+        cos = float((ref_n * out_n).sum(-1).min())
+        stamp(f"{impl} vs xla embedding min-cosine: {cos:.6f}")
+        if cos < 0.999:
+            stamp(f"{impl} fails the cosine gate — excluded")
+            return False
+        if not run_rank_gate:
             # measurement-only mode: with the ranking gate off, nothing
             # non-default may become the headline (CLAUDE.md promotion
-            # invariant requires BOTH gates) — numbers still print above
-            for impl in survivors:
-                print(
-                    f"{impl} measured but not promotable: ranking gate "
-                    "disabled (PRCV_BENCH_RANKGATE=0)",
-                    file=sys.stderr,
-                )
-                del results[impl]
-            survivors = []
-        if survivors:
-            from prcv2025reid_tpu.evaluation.protocol import ranking_equivalence
+            # invariant requires BOTH gates)
+            stamp(f"{impl} measured but not promotable: ranking gate "
+                  "disabled (PRCV_BENCH_RANKGATE=0)")
+            return False
+        from prcv2025reid_tpu.evaluation.protocol import ranking_equivalence
 
+        if not rank_ref:
             eb, var, S = embedders["xla"]
             gallery, g_pids, queries, q_pids = rank_probe_images(S)
-            g_ref = embed_all(eb, var, gallery)
-            q_ref = embed_all(eb, var, queries)
-            ref_cache = {}
-            for impl in survivors:
-                eb_i, var_i, _ = embedders[impl]
-                g_t = embed_all(eb_i, var_i, gallery)
-                q_t = embed_all(eb_i, var_i, queries)
-                r = ranking_equivalence(
-                    q_ref, g_ref, q_t, g_t, q_pids, g_pids,
-                    ref_cache=ref_cache,
-                )
-                print(
-                    f"{impl} ranking gate: top100-overlap={r['top_overlap']:.4f} "
-                    f"mAP {r['map_ref']:.4f}->{r['map_test']:.4f} "
-                    f"(delta {r['map_delta']:.4f})",
-                    file=sys.stderr,
-                )
-                if (r["top_overlap"] < RANK_MIN_OVERLAP
-                        or r["map_delta"] > RANK_MAX_MAP_DELTA):
-                    print(f"{impl} fails the ranking gate — excluded",
-                          file=sys.stderr)
-                    del results[impl]
+            stamp("ranking probe: embedding xla reference set")
+            rank_ref.update(
+                images=(gallery, queries), pids=(g_pids, q_pids),
+                g=embed_all(eb, var, gallery), q=embed_all(eb, var, queries),
+                cache={},
+            )
+        eb_i, var_i, _ = embedder
+        gallery, queries = rank_ref["images"]
+        g_pids, q_pids = rank_ref["pids"]
+        g_t = embed_all(eb_i, var_i, gallery)
+        q_t = embed_all(eb_i, var_i, queries)
+        r = ranking_equivalence(
+            rank_ref["q"], rank_ref["g"], q_t, g_t, q_pids, g_pids,
+            ref_cache=rank_ref["cache"],
+        )
+        stamp(
+            f"{impl} ranking gate: top100-overlap={r['top_overlap']:.4f} "
+            f"mAP {r['map_ref']:.4f}->{r['map_test']:.4f} "
+            f"(delta {r['map_delta']:.4f})"
+        )
+        if (r["top_overlap"] < RANK_MIN_OVERLAP
+                or r["map_delta"] > RANK_MAX_MAP_DELTA):
+            stamp(f"{impl} fails the ranking gate — excluded")
+            return False
+        return True
 
-    candidates = {k: v for k, v in results.items() if v}
-    if not candidates:
-        print("every measurement path failed — see stderr above", file=sys.stderr)
-        sys.exit(1)
-    impl, value = max(candidates.items(), key=lambda kv: kv[1])
-    print(f"throughputs (pre-gate): {measured} -> using {impl}", file=sys.stderr)
+    # --- phase 2: candidates, each gated the moment it is measured ---
+    for impl in candidates:
+        try:
+            rate, probe, embedder = measure(impl)
+        except Exception as e:
+            stamp(f"{impl} path failed: {type(e).__name__}: {e}")
+            continue
+        if gate(impl, probe, embedder):
+            results[impl] = rate
+            probes[impl], embedders[impl] = probe, embedder
+
+    # --- phase 3: the headline JSON, before any exploratory work ---
+    impl, value = max(results.items(), key=lambda kv: kv[1])
+    stamp(f"throughputs (gated): { {k: round(v, 1) for k, v in results.items()} } "
+          f"-> using {impl}")
     print(
         json.dumps(
             {
@@ -269,6 +290,22 @@ def main():
             }
         )
     )
+    sys.stdout.flush()
+
+    # --- phase 4 (optional): exploratory paths, stderr only ---
+    if run_extras:
+        for impl in extra_impls:
+            try:
+                rate, probe, embedder = measure(impl)
+            except Exception as e:
+                stamp(f"{impl} path failed: {type(e).__name__}: {e}")
+                continue
+            promotable = gate(impl, probe, embedder)
+            stamp(
+                f"[extra] {impl}: {rate:.1f} embeds/s "
+                f"({'passes' if promotable else 'fails'} gates; headline "
+                "candidates are set via PRCV_BENCH_IMPLS)"
+            )
 
 
 if __name__ == "__main__":

@@ -141,7 +141,13 @@ class TrainingConfig:
     pair_coverage_window: int = 100
 
     # ----- host pipeline -----
-    num_workers: int = 2
+    # -1 = auto-size to the host: cpu_count - 1 decode workers (the main
+    # process needs a core for collate/tokenize/dispatch), clamped to [1, 32].
+    # The reference hardcodes 2 (train.py:1388-1396) — measured here, ONE
+    # core decodes ~66 samples/s (native) against a chip that trains at
+    # 229 samples/s and embeds 3,618/s: docs/data_pipeline.md has the
+    # cores-per-chip budget.  0 = in-process (tests/debug).
+    num_workers: int = -1
     prefetch_batches: int = 2
     tokenizer_vocab_path: Optional[str] = None  # CLIP vocab.json/merges.txt dir; None = hashed fallback
 
@@ -339,6 +345,11 @@ class TrainingConfig:
         if self.remat_policy not in ("full", "dots"):
             raise ValueError(
                 f"remat_policy={self.remat_policy!r}; valid: ['dots', 'full']"
+            )
+        if self.num_workers < -1:
+            raise ValueError(
+                f"num_workers={self.num_workers} (use -1 for auto, 0 for "
+                "in-process, or a positive worker count)"
             )
 
     @property

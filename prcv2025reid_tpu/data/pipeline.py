@@ -61,6 +61,23 @@ def collate(samples: Sequence[Dict], tokenizer) -> Dict[str, np.ndarray]:
     }
 
 
+def resolve_num_workers(n: int) -> int:
+    """-1 (auto) -> size the decode pool to the host: cpu_count - 1 (the
+    main process needs its own core for collate/tokenize/dispatch), clamped
+    to [1, 32].  Non-negative values pass through (0 = in-process).
+
+    The budget this serves (measured, docs/data_pipeline.md): one core
+    decodes ~66 train samples/s with native decode, while one v5e chip
+    consumes 229 train samples/s — ~4 cores/chip at train, more at eval —
+    so a fixed small default (the reference's workers=2,
+    train.py:1388-1396) starves the chip on any real host."""
+    if n >= 0:
+        return n
+    import os
+
+    return max(1, min(32, (os.cpu_count() or 2) - 1))
+
+
 # ----- worker-process plumbing (spawn-safe, no jax in workers) -----
 
 _WORKER_DS: Optional[MultiModalDataset] = None
@@ -99,7 +116,7 @@ class HostPipeline:
         dataset: MultiModalDataset,
         sampler: PKBatchSampler,
         tokenizer,
-        num_workers: int = 2,
+        num_workers: int = -1,
         prefetch: int = 2,
         seed: int = 0,
         modality_dropout: Optional[float] = None,
@@ -109,7 +126,7 @@ class HostPipeline:
         self.dataset = dataset
         self.sampler = sampler
         self.tokenizer = tokenizer
-        self.num_workers = max(0, num_workers)
+        self.num_workers = resolve_num_workers(num_workers)
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self.epoch = 0

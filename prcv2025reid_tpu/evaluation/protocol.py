@@ -116,12 +116,16 @@ def embed_samples(
         # burned host time)
         samples.extend(samples[-1:] * (batch_size - n_real))
         batch = collate(samples, tokenizer)
+        # pids stay HOST-side numpy: after device_put(sharding) on a
+        # multi-host mesh batch['pids'] would be a globally sharded array
+        # whose np-materialization raises (non-addressable shards)
+        np_pids = np.asarray(batch["pids"])
         if sharding is not None:
             batch = jax.device_put(batch, sharding)  # pytree-aware, one call
         feats = embed_fn(variables, batch)  # async dispatch
         if pending is not None:
             _collect(pending)
-        pending = (feats, n_real, batch["pids"])
+        pending = (feats, n_real, np_pids)
     if pending is not None:
         _collect(pending)
     if not feats_out:

@@ -212,4 +212,17 @@ def latest_checkpoint_exists(directory: str, name: str = "latest") -> bool:
     except OSError:
         pass
     barrier("ckpt-exists")
-    return _is_complete(path)
+    # multi-host: process 0 is the AUTHORITY (same rationale as
+    # GalleryCache.load — shared-filesystem visibility lag can make ranks
+    # disagree, and a split verdict sends only some processes into the
+    # collective orbax restore: a hang).  Broadcast 0's verdict.
+    import jax
+
+    if jax.process_count() == 1:
+        return _is_complete(path)
+    from jax.experimental import multihost_utils
+
+    verdict = np.asarray(
+        1 if (is_main_process() and _is_complete(path)) else 0, np.int64
+    )
+    return bool(multihost_utils.broadcast_one_to_all(verdict))

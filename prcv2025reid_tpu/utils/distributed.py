@@ -90,6 +90,11 @@ def initialize_from_config(config) -> bool:
     kwargs = {}
     if coord:
         kwargs["coordinator_address"] = coord
+    elif os.environ.get("COORDINATOR_ADDRESS"):
+        # this env name triggers auto mode above but jax's own discovery
+        # does not read it — forward it explicitly so initialize() can
+        # actually find the coordinator
+        kwargs["coordinator_address"] = os.environ["COORDINATOR_ADDRESS"]
     n = getattr(config, "num_processes", None)
     if n is not None:
         kwargs["num_processes"] = int(n)

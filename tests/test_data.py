@@ -176,7 +176,73 @@ class TestCollate:
         assert batch["text_mask"][0] == 0.0
 
 
+class _SlowFakeDataset:
+    """Picklable stand-in whose get_sample burns a fixed wall time — makes
+    the overlap property measurable without real decode work."""
+
+    def __init__(self, n: int, delay_s: float):
+        self.n = n
+        self.delay_s = delay_s
+
+    def __len__(self):
+        return self.n
+
+    def get_sample(self, index, rng, modality_dropout=None):
+        import time as _time
+
+        _time.sleep(self.delay_s)
+        return {
+            "images": np.zeros((4, 8, 8, 3), np.uint8),
+            "image_mask": np.ones(4, np.float32),
+            "caption": "x",
+            "text_mask": 1.0,
+            "label": int(index) % 4,
+            "pid": int(index),
+            "index": int(index),
+        }
+
+
 class TestPipeline:
+    def test_resolve_num_workers(self):
+        import os
+
+        from prcv2025reid_tpu.data.pipeline import resolve_num_workers
+
+        assert resolve_num_workers(0) == 0
+        assert resolve_num_workers(3) == 3
+        auto = resolve_num_workers(-1)
+        assert 1 <= auto <= 32
+        assert auto == max(1, min(32, (os.cpu_count() or 2) - 1))
+
+    def test_worker_overlap_hides_host_time(self):
+        """The pipeline's reason to exist: decode (workers) must overlap the
+        device step (main process), so wall time approaches
+        max(host, device), not their sum (VERDICT r3 #5 — the property that
+        decides whether the chip starves)."""
+        import time
+
+        ds = _SlowFakeDataset(n=16, delay_s=0.05)
+        tok = HashTokenizer(100, 16)
+        batches = [[0, 1], [2, 3], [4, 5], [6, 7]]  # plain index lists
+        host_s = len(batches) * 2 * 0.05  # 0.4s of worker-side sample time
+        device_s_each = 0.1
+        device_s = len(batches) * device_s_each  # 0.4s of "device" time
+        pipe = HostPipeline(ds, batches, tok, num_workers=1, seed=0)
+        try:
+            for _ in pipe:  # warm pass: pool spawn/import cost excluded
+                pass
+            t0 = time.perf_counter()
+            for _ in pipe:
+                time.sleep(device_s_each)
+            wall = time.perf_counter() - t0
+        finally:
+            pipe.close()
+        # serial would be ~0.8s; require at least half the device time hidden
+        assert wall < host_s + 0.5 * device_s, (
+            f"no overlap: wall {wall:.2f}s vs host {host_s:.2f}s + "
+            f"device {device_s:.2f}s"
+        )
+
     def test_threaded_matches_serial(self, tiny_data_config):
         ds = MultiModalDataset(tiny_data_config, "train")
         tok = HashTokenizer(100, 16)

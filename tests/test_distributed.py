@@ -109,7 +109,21 @@ class TestInitializeFromConfig:
         monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.2:99")
         cfg = TrainingConfig(distributed="auto")
         assert dist.initialize_from_config(cfg) is True
-        # env-var discovery is jax.distributed's own: no explicit kwargs
+        # COORDINATOR_ADDRESS is OUR trigger name, not one jax's own
+        # discovery reads — it must be forwarded explicitly (ADVICE r3)
+        assert called == [{"coordinator_address": "10.0.0.2:99"}]
+
+    def test_auto_with_jax_env_uses_jax_discovery(self, monkeypatch):
+        import jax
+
+        called = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda **kw: called.append(kw)
+        )
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.3:99")
+        cfg = TrainingConfig(distributed="auto")
+        assert dist.initialize_from_config(cfg) is True
+        # env names jax.distributed itself reads pass through untouched
         assert called == [{}]
 
 
