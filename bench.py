@@ -55,6 +55,9 @@ IMPL_CONFIG = {
     "fused": {"block_impl": "fused"},
     "fused_qkv": {"block_impl": "fused_qkv"},
     "fused_int8": {"block_impl": "fused_int8"},
+    "fused_int8_mlp": {"block_impl": "fused_int8_mlp"},
+    "fused_int8_mlp_onesaug": {"block_impl": "fused_int8_mlp",
+                               "attn_backend": "onesaug"},
     "onesaug": {"attn_backend": "onesaug"},
     "tanhgelu": {"gelu_impl": "tanh"},
     "onesaug_tanh": {"attn_backend": "onesaug", "gelu_impl": "tanh"},

@@ -231,6 +231,13 @@ class TrainingConfig:
     # memory; use for very large P*K where the ~155 MB/layer residuals
     # would not fit alongside the activations).
     gelu_bwd: str = "stored"
+    # TRAINING-path attention backward scheduling: "stored" (XLA keeps the
+    # [N, H, S, S] softmax probabilities as residuals — zero recompute) or
+    # "remat" (jax.checkpoint on the attention core: the backward recomputes
+    # QK + softmax from q/k/v, so no [S,S]-sized residual is ever stored —
+    # attention activations are what make 64x4 not fit in 16 GB HBM,
+    # docs/performance.md train table).  Exact math either way.
+    attn_bwd: str = "stored"
     # Pallas fused fc1-gelu-fc2 kernel: measured SLOWER than XLA on v5e (the
     # erf GELU is VPU-bound and Mosaic serializes it against the MXU); kept
     # for future scheduling work. docs/performance.md has the numbers.
@@ -310,9 +317,9 @@ class TrainingConfig:
             raise ValueError(
                 f"'text' must be the last modality, got {self.modalities}"
             )
-        valid_block = {"xla", "fused", "fused_int8", "fused_qkv",
-                       "fused_interpret", "fused_int8_interpret",
-                       "fused_qkv_interpret"}
+        valid_block = {"xla", "fused", "fused_int8", "fused_int8_mlp",
+                       "fused_qkv", "fused_interpret", "fused_int8_interpret",
+                       "fused_int8_mlp_interpret", "fused_qkv_interpret"}
         if self.block_impl not in valid_block:
             raise ValueError(
                 f"block_impl={self.block_impl!r}; valid: {sorted(valid_block)}"
@@ -341,6 +348,10 @@ class TrainingConfig:
         if self.gelu_bwd not in ("remat", "stored"):
             raise ValueError(
                 f"gelu_bwd={self.gelu_bwd!r}; valid: ['remat', 'stored']"
+            )
+        if self.attn_bwd not in ("remat", "stored"):
+            raise ValueError(
+                f"attn_bwd={self.attn_bwd!r}; valid: ['remat', 'stored']"
             )
         if self.remat_policy not in ("full", "dots"):
             raise ValueError(

@@ -48,6 +48,7 @@ class UnifiedEncoder(nn.Module):
     block_impl: str = "xla"
     gelu_impl: str = "erf"
     gelu_bwd: str = "remat"
+    attn_bwd: str = "stored"
     remat_blocks: bool = False
     remat_policy: str = "full"
 
@@ -79,6 +80,7 @@ class UnifiedEncoder(nn.Module):
             block_impl=config.block_impl,
             gelu_impl=config.gelu_impl,
             gelu_bwd=config.gelu_bwd,
+            attn_bwd=config.attn_bwd,
             remat_blocks=config.remat_blocks,
             remat_policy=config.remat_policy,
         )
@@ -105,6 +107,7 @@ class UnifiedEncoder(nn.Module):
             block_impl=self.block_impl,
             gelu_impl=self.gelu_impl,
             gelu_bwd=self.gelu_bwd,
+            attn_bwd=self.attn_bwd,
             remat_blocks=self.remat_blocks,
             remat_policy=self.remat_policy,
         )

@@ -218,6 +218,11 @@ class MERAttention(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    # training backward scheduling (configs.attn_bwd): "stored" keeps the
+    # [N, H, S, S] softmax probs as autodiff residuals; "remat" wraps the
+    # core in jax.checkpoint so the backward recomputes QK + softmax from
+    # q/k/v and no [S,S]-sized residual is stored (exact math)
+    attn_bwd: str = "stored"
     enable: bool = True  # False = shared-trunk-only (config.enable_mer)
 
     @nn.compact
@@ -329,6 +334,11 @@ class MERAttention(nn.Module):
             from prcv2025reid_tpu.ops.attention import bshd_core
 
             core = bshd_core(impl if fold else "xla")
+            if not fold and self.attn_bwd == "remat":
+                # recompute QK + softmax in the backward instead of storing
+                # the [G*B, H, S, S] probabilities — the residual that makes
+                # attention dominate training HBM (docs/performance.md)
+                core = jax.checkpoint(core)
 
             def merge2(t):  # [G,B,S,H,Dh] (fold) or [G,B,S,D] -> [G*B,S,H,Dh]
                 return t.reshape(G * B, S, self.num_heads, head_dim)
@@ -564,6 +574,7 @@ class MERBlock(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    attn_bwd: str = "stored"  # see MERAttention.attn_bwd
     mlp_impl: str = "xla"
     enable_mer: bool = True  # config.enable_mer (reference: configs/config.py:27)
     # "xla" | "fused" | "fused_int8" (+ "_interpret" test variants): the fused
@@ -588,6 +599,7 @@ class MERBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
+            attn_bwd=self.attn_bwd,
             enable=self.enable_mer,
             name="attn",
         )
@@ -706,7 +718,12 @@ class MERBlock(nn.Module):
 
         interpret = self.block_impl.endswith("_interpret")
         impl = self.block_impl.removesuffix("_interpret")
-        quant = "int8" if impl == "fused_int8" else "bf16"
+        # 'fused_int8' quantizes every projection; 'fused_int8_mlp' is the
+        # mixed plan — QKV/out-proj bf16, fc1/fc2 int8 (the ranking-gate
+        # iteration, VERDICT r3 #3)
+        quant = {"fused_int8": "int8", "fused_int8_mlp": "int8_mlp"}.get(
+            impl, "bf16"
+        )
         ids = tuple(expert_ids)
         G, B, S, D = x.shape
         head_dim = D // self.num_heads
@@ -725,10 +742,14 @@ class MERBlock(nn.Module):
             w_out = quantize_weight(w_out)
             w1 = quantize_weight(w1)
             w2 = quantize_weight(w2)
+        elif quant == "int8_mlp":
+            w1 = quantize_weight(w1)
+            w2 = quantize_weight(w2)
 
         xf = x.reshape(G, B * S, D)
         qkv = fused_ln_qkv(
-            xf, ln1_s, ln1_b, w_qkv_k, b_qkv_g, quant, 256, interpret
+            xf, ln1_s, ln1_b, w_qkv_k, b_qkv_g,
+            "bf16" if quant == "int8_mlp" else quant, 256, interpret,
         )  # [G, B*S, 3D]
         qkv5 = qkv.reshape(G * B, S, 3, self.num_heads, head_dim)
         q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]

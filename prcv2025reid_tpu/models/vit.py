@@ -99,6 +99,7 @@ class MERVisionTransformer(nn.Module):
     block_impl: str = "xla"  # see MERBlock.block_impl
     gelu_impl: str = "erf"  # see MERBlock.gelu_impl
     gelu_bwd: str = "remat"  # see MERMlp.gelu_bwd
+    attn_bwd: str = "stored"  # see MERAttention.attn_bwd
     # rematerialize each block in the backward (jax.checkpoint): saves only
     # block inputs, recomputing activations during the backward — ~1/3 more
     # forward FLOPs for ~12x less activation memory, enabling larger P*K
@@ -165,6 +166,7 @@ class MERVisionTransformer(nn.Module):
                 block_impl=self.block_impl,
                 gelu_impl=self.gelu_impl,
                 gelu_bwd=self.gelu_bwd,
+                attn_bwd=self.attn_bwd,
                 name=f"block_{i}",
             )
             for i in range(self.num_layers)

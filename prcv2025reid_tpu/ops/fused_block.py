@@ -260,15 +260,36 @@ def _out_mlp_kernel_int8(
     o_ref[0] = (x2 + o + b2_ref[0, 0]).astype(o_ref.dtype)
 
 
+def _out_mlp_kernel_int8mlp(
+    a_ref, x_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
+    w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref, b2_ref, o_ref,
+):
+    """Mixed plan: out-proj bf16, fc1/fc2 int8 — the MLP is 42% of the step
+    and its quantization sits behind an LN (bounded input range), while the
+    out-proj feeds the residual stream directly (where int8 error compounds
+    across 12 layers — the suspected ranking-gate killer)."""
+    proj = _dot(a_ref[0], wo_ref[0], jnp.float32) + bo_ref[0, 0]
+    x2 = x_ref[0].astype(jnp.float32) + proj
+    y = _ln_f32(x2, lns_ref[0, 0], lnb_ref[0, 0])
+    yq, ys = _quant_rows(y)
+    h = _dot(yq, w1_ref[0], jnp.int32).astype(jnp.float32) * ys * w1s_ref[0, 0]
+    h = _gelu_exact(h + b1_ref[0, 0])
+    hq, hs = _quant_rows(h)
+    o = _dot(hq, w2_ref[0], jnp.int32).astype(jnp.float32) * hs * w2s_ref[0, 0]
+    o_ref[0] = (x2 + o + b2_ref[0, 0]).astype(o_ref.dtype)
+
+
 def _fused_out_mlp_impl(
     attn, x, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2,
     *, quant, block_rows, interpret,
 ):
     """attn, x [G, T, D]; wo [G, D, D]; w1 [G, D, F]; w2 [G, F, D] (bf16), or
-    (wq, ws) pairs for int8.  Returns x + proj + MLP(LN2(x + proj))."""
+    (wq, ws) pairs for int8.  ``quant='int8_mlp'``: wo stays bf16, only
+    w1/w2 are (wq, ws) pairs.  Returns x + proj + MLP(LN2(x + proj))."""
     G, T, D = x.shape
     int8 = quant == "int8"
-    F = (w1[0] if int8 else w1).shape[-1]
+    int8_mlp = quant == "int8_mlp"
+    F = (w1[0] if (int8 or int8_mlp) else w1).shape[-1]
     R = block_rows
     Tp = -(-T // R) * R
     if Tp != T:
@@ -314,7 +335,30 @@ def _fused_out_mlp_impl(
         pl.BlockSpec((1, 1, D), const, **kw),
         pl.BlockSpec((1, 1, D), const, **kw),
     ]
-    if int8:
+    if int8_mlp:
+        (w1q, w1s), (w2q, w2s) = w1, w2
+        out = pl.pallas_call(
+            _out_mlp_kernel_int8mlp,
+            in_specs=[
+                a_spec,
+                x_spec,
+                pl.BlockSpec((1, D, D), gonly, **wkw),
+                pl.BlockSpec((1, 1, D), gonly, **kw),
+                *ln_specs,
+                pl.BlockSpec((1, D, F), gonly, **wkw),
+                pl.BlockSpec((1, 1, F), gonly, **kw),
+                pl.BlockSpec((1, 1, F), gonly, **kw),
+                pl.BlockSpec((1, F, D), gonly, **wkw),
+                pl.BlockSpec((1, 1, D), gonly, **kw),
+                pl.BlockSpec((1, 1, D), gonly, **kw),
+            ],
+            **common,
+        )(
+            attn, x, wo, bor, lns, lnb,
+            w1q, w1s.astype(jnp.float32), b1r,
+            w2q, w2s.astype(jnp.float32), b2r,
+        )
+    elif int8:
         (woq, wos), (w1q, w1s), (w2q, w2s) = wo, w1, w2
         out = pl.pallas_call(
             _out_mlp_kernel_int8,
@@ -391,7 +435,7 @@ def _out_mlp_fwd(attn, x, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2,
 
 def _out_mlp_bwd(quant, block_rows, interpret, res, g):
     attn, x, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2 = res
-    int8 = quant == "int8"
+    int8 = quant in ("int8", "int8_mlp")
     if int8:
         # see _ln_qkv_bwd: grad-through-int8 is unsupported by design
         raise NotImplementedError(

@@ -108,6 +108,35 @@ def test_out_mlp_int8_close(data):
     assert cos.min() > 0.995, cos.min()
 
 
+def test_out_mlp_int8_mlp_closer_than_int8(data):
+    """The mixed plan (out-proj bf16, fc1/fc2 int8) must be strictly more
+    accurate than all-int8 — it removes two quantization stages (attn rows +
+    out-proj columns) from the residual stream."""
+    wo_q = quantize_weight(data["wo"])
+    w1 = quantize_weight(data["w1"])
+    w2 = quantize_weight(data["w2"])
+    out_mixed = fused_out_mlp(
+        data["attn"], data["x"], data["wo"], data["bo"], data["lns"],
+        data["lnb"], w1, data["b1"], w2, data["b2"], "int8_mlp", 32, True,
+    )
+    out_full = fused_out_mlp(
+        data["attn"], data["x"], wo_q, data["bo"], data["lns"], data["lnb"],
+        w1, data["b1"], w2, data["b2"], "int8", 32, True,
+    )
+    ref = np.asarray(_out_mlp_oracle(data), np.float64).reshape(-1, D)
+
+    def min_cos(o):
+        of = np.asarray(o, np.float64).reshape(-1, D)
+        return (
+            (of * ref).sum(-1)
+            / (np.linalg.norm(of, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-12)
+        ).min()
+
+    cm, cf = min_cos(out_mixed), min_cos(out_full)
+    assert cm > 0.998, cm
+    assert cm >= cf, (cm, cf)
+
+
 def test_grad_with_bf16_inputs_has_primal_dtypes(data):
     """The production _fused_call passes bf16 weights AND biases; the custom
     VJP must return cotangents in the primal dtypes or JAX rejects them
@@ -217,6 +246,31 @@ def test_model_fused_int8_close_to_xla():
         + 1e-12
     )
     assert cos.min() > 0.99, cos.min()
+
+
+def test_model_fused_int8_mlp_closer_than_int8():
+    """Through the real 2-layer trunk the mixed plan's worst-row cosine to
+    the xla output must be at least the all-int8 path's."""
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+    ref_model = _small_trunk("xla")
+    variables = ref_model.init(jax.random.PRNGKey(1), imgs)
+    ref = np.asarray(ref_model.apply(variables, imgs), np.float64)
+    ref_flat = ref.reshape(-1, ref.shape[-1])
+
+    def min_cos(block_impl):
+        out = np.asarray(
+            _small_trunk(block_impl).apply(variables, imgs), np.float64
+        ).reshape(-1, ref.shape[-1])
+        return (
+            (ref_flat * out).sum(-1)
+            / (np.linalg.norm(ref_flat, axis=-1) * np.linalg.norm(out, axis=-1)
+               + 1e-12)
+        ).min()
+
+    cm = min_cos("fused_int8_mlp_interpret")
+    cf = min_cos("fused_int8_interpret")
+    assert cm > 0.995, cm
+    assert cm >= cf, (cm, cf)
 
 
 def test_out_mlp_grad_matches_xla(data):

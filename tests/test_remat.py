@@ -10,7 +10,7 @@ import numpy as np
 from prcv2025reid_tpu.models.vit import MERVisionTransformer
 
 
-def _trunk(remat, policy="full"):
+def _trunk(remat, policy="full", attn_bwd="stored"):
     return MERVisionTransformer(
         embed_dim=64,
         num_layers=2,
@@ -22,7 +22,40 @@ def _trunk(remat, policy="full"):
         modalities=("vis", "nir"),
         remat_blocks=remat,
         remat_policy=policy,
+        attn_bwd=attn_bwd,
     )
+
+
+def test_attn_bwd_remat_matches_stored():
+    """attn_bwd='remat' (jax.checkpoint on the attention core) must change
+    scheduling only: identical forward, identical gradients."""
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+    ref_model = _trunk(False, attn_bwd="stored")
+    variables = ref_model.init(jax.random.PRNGKey(1), imgs)
+    remat_model = _trunk(False, attn_bwd="remat")
+
+    out_ref = ref_model.apply(variables, imgs, deterministic=False,
+                              rngs={"droppath": jax.random.PRNGKey(2)})
+    out = remat_model.apply(variables, imgs, deterministic=False,
+                            rngs={"droppath": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(out, out_ref, rtol=1e-6, atol=1e-6)
+
+    def loss(model):
+        def f(params):
+            y = model.apply(
+                {"params": params},
+                imgs,
+                deterministic=False,
+                rngs={"droppath": jax.random.PRNGKey(2)},
+            )
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(ref_model))(variables["params"])
+    g_remat = jax.grad(loss(remat_model))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
 def test_remat_dots_policy_matches():

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--gelu-bwd", default="stored", choices=("remat", "stored"),
                     help="training GELU backward scheduling; default matches "
                          "the production config (configs.gelu_bwd='stored')")
+    ap.add_argument("--attn-bwd", default="stored", choices=("remat", "stored"),
+                    help="attention backward scheduling: 'remat' recomputes "
+                         "QK+softmax instead of storing the [S,S] probs")
     ap.add_argument("--donate", default=True,
                     action=argparse.BooleanOptionalAction,
                     help="donate the train state into the step; default ON to "
@@ -62,6 +65,7 @@ def main():
         remat_blocks=args.remat,
         remat_policy=args.remat_policy,
         gelu_bwd=args.gelu_bwd,
+        attn_bwd=args.attn_bwd,
     )
     num_classes = 400
     model = MultiModalReIDModel(config=config, num_classes=num_classes)
