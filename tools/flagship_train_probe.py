@@ -83,7 +83,7 @@ def run_train(args, num_epochs: int, work: str, root: str) -> float:
         "--eval_sample_ratio=1.0",
         "--eval_batch_size=64",
         "--save_freq=100",
-    ]
+    ] + list(args.train_flag)
     if args.tiny:
         # CPU-sized model for validating the probe ORCHESTRATION (resume,
         # assertions, artifacts) without the chip; the flagship claim only
@@ -112,6 +112,22 @@ def read_csv(path: str):
         return list(csv.DictReader(f))
 
 
+def _random_map_mc(n_gallery: int, n_relevant: int, trials: int = 20000):
+    """E[mAP] of a uniformly random ranking with R relevant of N items."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    hits = np.sort(
+        np.argsort(
+            rng.random((trials, n_gallery)), axis=1
+        )[:, :n_relevant] + 1, axis=1
+    )  # ranks of the R relevant items per trial
+    # careful: the above places R *random distinct ranks*; sorting makes
+    # them the ordered hit positions, exactly a random permutation's
+    prec = np.arange(1, n_relevant + 1) / hits
+    return float(prec.mean(axis=1).mean())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/flagship_probe")
@@ -126,6 +142,18 @@ def main():
                     help="wipe --work before running")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model on CPU — validates the probe itself")
+    ap.add_argument("--assert-only", action="store_true",
+                    help="skip training; re-run the assertions/artifact copy "
+                         "against the CSVs already in --work (for gate fixes "
+                         "after a completed run)")
+    ap.add_argument("--train-flag", action="append", default=[],
+                    help="extra --key=value flags passed through to train.py "
+                         "(repeatable).  The from-scratch probe needs "
+                         "--train-flag=--freeze_backbone=false: the frozen-"
+                         "trunk production recipe presumes CLIP weights, and "
+                         "with a random trunk only the LoRA/head path trains "
+                         "— measured val mAP stays AT the random-ranking "
+                         "baseline (0.16 for the default probe gallery)")
     args = ap.parse_args()
 
     if args.fresh and os.path.isdir(args.work):
@@ -141,8 +169,11 @@ def main():
         print(f"[probe] synthetic ORBench at {root}: {args.ids} ids x "
               f"{args.anchors} anchors", flush=True)
 
-    t1 = run_train(args, args.epochs1, args.work, root)
-    t2 = run_train(args, args.epochs, args.work, root)
+    if args.assert_only:
+        t1 = t2 = 0.0
+    else:
+        t1 = run_train(args, args.epochs1, args.work, root)
+        t2 = run_train(args, args.epochs, args.work, root)
 
     train_hist = read_csv(f"{args.work}/logs/train_history.csv")
     eval_hist = read_csv(f"{args.work}/logs/eval_history.csv")
@@ -160,18 +191,27 @@ def main():
     # 3. eval mAP beats random.  Random-ranking mAP on a gallery with n_rel
     # relevant of N items is ~n_rel/N; here every id has `anchors` vis
     # images in the val gallery -> baseline ~= 1/val_ids.
-    def _map(row):  # whitelist-dependent column set (Trainer eval CSV)
-        for k in ("map_avg2", "map_single", "map_mm_avg"):
-            if row.get(k):
+    def _map(row):
+        # map_mm_avg averages the patterns this run actually evaluated;
+        # map_avg2 assumes the quad pattern ran (it is 0 under a reduced
+        # --eval_include_patterns whitelist, which would halve the reading)
+        for k in ("map_mm_avg", "map_single", "map_avg2"):
+            if row.get(k) and float(row[k]) > 0:
                 return float(row[k])
         raise KeyError(f"no mAP column in eval row: {row}")
 
     maps = [_map(r) for r in eval_hist]
     assert maps, "no eval rows"
+    # the honest baseline is the EXPECTED mAP of a random permutation for
+    # this gallery composition (R relevant of N) — NOT 1/val_ids, which
+    # understates it badly at small galleries (R=6 of N=60 -> E[mAP]=0.156,
+    # Monte-Carlo; a reading of 0.16 therefore means "random", not "2x
+    # random").  Gate: best epoch must clear random by a real margin.
     val_ids = max(1, round(args.ids * 0.2))
-    random_map = 1.0 / val_ids
-    assert max(maps) > 2.0 * random_map, (
-        f"eval mAP {max(maps):.4f} does not beat random ({random_map:.4f})"
+    random_map = _random_map_mc(val_ids * args.anchors, args.anchors)
+    assert max(maps) > random_map + 0.08, (
+        f"eval mAP {max(maps):.4f} does not beat the random-ranking "
+        f"baseline ({random_map:.4f}) by the 0.08 margin"
     )
     sps = [float(r["steps_per_sec"]) for r in train_hist[1:]]  # row 1 holds compile
     summary = {
@@ -181,6 +221,7 @@ def main():
         "total_loss": [float(r["total_loss"]) for r in train_hist],
         "sdm_weight": [float(r["sdm_weight"]) for r in train_hist],
         "eval_mAP": maps,
+        "random_map_baseline": round(random_map, 4),
         "steps_per_sec": sps,
         "wall_s_phase1": round(t1, 1),
         "wall_s_phase2_resumed": round(t2, 1),
