@@ -942,7 +942,92 @@ def probe_attn5():
         timed(fn, q, flops_per_iter=flops, label=f"attn5 {name} |err|{err:.4f}")
 
 
+def probe_attn6():
+    """Round-4 last eval-headroom candidate (VERDICT r3 #8): does a
+    head-folded [B*H, S, Dh] batched-contraction layout beat the model's
+    [B, S, H, Dh] einsum form for the scores/PV pair?  The hypothesis: a
+    3-D dot_general with one fused batch dim might tile the odd S=197
+    operands differently than the 4-D two-batch-dim form.  All variants
+    compute the SAME onesaug-nomax math (ops/attention.py::
+    xla_attention_bshd_onesaug); transposes needed to reach a layout are
+    timed as part of that variant — they are its real cost."""
+    B, S, H, Dh = (160, 197, 12, 64) if _ON_TPU else (4, 197, 4, 16)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B, S, H, Dh), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, S, H, Dh), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, S, H, Dh), jnp.bfloat16)
+    flops = 2.0 * B * H * S * S * Dh * 2
+    scale = Dh**-0.5
+
+    from prcv2025reid_tpu.ops.attention import xla_attention_bshd_onesaug
+
+    def _finish(o):  # shared slice/normalize tail, [.., 65] -> [.., 64]
+        return o[..., :Dh] / jnp.maximum(o[..., Dh:], 1e-8)
+
+    def v_model(q, k, v):  # current core: 4-D einsums, two batch dims
+        return xla_attention_bshd_onesaug(q, k, v)
+
+    def v_headfold(q, k, v):  # [B*H, S, Dh] 3-D dot_general, one batch dim
+        qf = q.transpose(0, 2, 1, 3).reshape(B * H, S, Dh)
+        kf = k.transpose(0, 2, 1, 3).reshape(B * H, S, Dh)
+        vf = v.transpose(0, 2, 1, 3).reshape(B * H, S, Dh)
+        s = jnp.einsum("nqd,nkd->nqk", qf, kf)
+        p = jnp.exp(s.astype(jnp.float32) * scale).astype(q.dtype)
+        v_aug = jnp.concatenate(
+            [vf, jnp.ones((B * H, S, 1), vf.dtype)], axis=-1
+        )
+        o = jnp.einsum("nqk,nke->nqe", p, v_aug)
+        return _finish(o).reshape(B, H, S, Dh).transpose(0, 2, 1, 3)
+
+    def v_bhsd(q, k, v):  # explicit [B, H, S, Dh] transposes, 4-D einsums
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, kt)
+        p = jnp.exp(s.astype(jnp.float32) * scale).astype(q.dtype)
+        v_aug = jnp.concatenate(
+            [vt, jnp.ones(vt.shape[:-1] + (1,), vt.dtype)], axis=-1
+        )
+        o = jnp.einsum("bhqk,bhke->bhqe", p, v_aug)
+        return _finish(o).transpose(0, 2, 1, 3)
+
+    def v_seqfold(q, k, v):  # fold B into S for the PV only: [H, B*S, 65]
+        # scores stay the model form; PV contracts per-head with the whole
+        # batch as rows — N=65 lane waste unchanged but M is huge
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        p = jnp.exp(s.astype(jnp.float32) * scale).astype(q.dtype)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
+        )
+        o = jnp.einsum("bhqk,bkhe->bqhe", p, v_aug)
+        return _finish(o)
+
+    ref = np.asarray(v_model(q, k, v), np.float32)
+    for name, f in {
+        "model bshd 4-D einsums": v_model,
+        "head-folded [B*H,S,Dh] 3-D": v_headfold,
+        "bhsd transposed 4-D": v_bhsd,
+        "model-form control": v_seqfold,
+    }.items():
+        try:
+            got = np.asarray(f(q, k, v), np.float32)
+            err = float(np.max(np.abs(got - ref)))
+        except Exception as e:
+            print(f"attn6 {name}: FAILED {type(e).__name__}: {str(e)[:100]}")
+            continue
+
+        def fn(q, k, v, f=f):
+            def body(i, acc):
+                qi = q + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                o = f(qi, k, v)
+                return acc + o[0, 0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        timed(fn, q, k, v, flops_per_iter=flops,
+              label=f"attn6 {name} |err|{err:.4f}")
+
+
 PROBES = {
+    "attn6": probe_attn6,
     "fc2_fusion": probe_fc2_fusion,
     "attn5": probe_attn5,
     "attn3": probe_attn3,
