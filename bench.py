@@ -216,7 +216,15 @@ def main():
 
     # --- phase 1: the reference path (always the fallback headline) ---
     results, probes, embedders = {}, {}, {}
-    results["xla"], probes["xla"], embedders["xla"] = measure("xla")
+    try:
+        results["xla"], probes["xla"], embedders["xla"] = measure("xla")
+    except Exception as e:
+        # keep failures attributable for the driver: explicit diagnostic +
+        # nonzero exit instead of a raw traceback with no JSON
+        stamp(f"xla path failed: {type(e).__name__}: {e}")
+        print("bench.py: every measurement path failed (the xla reference "
+              "path did not complete) — no JSON emitted", file=sys.stderr)
+        sys.exit(1)
 
     ref = probes["xla"]
     ref_n = ref / (np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-12)

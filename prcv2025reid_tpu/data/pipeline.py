@@ -62,20 +62,28 @@ def collate(samples: Sequence[Dict], tokenizer) -> Dict[str, np.ndarray]:
 
 
 def resolve_num_workers(n: int) -> int:
-    """-1 (auto) -> size the decode pool to the host: cpu_count - 1 (the
-    main process needs its own core for collate/tokenize/dispatch), clamped
-    to [1, 32].  Non-negative values pass through (0 = in-process).
+    """-1 (auto) -> size the decode pool to the host: available cores - 1
+    (the main process needs its own core for collate/tokenize/dispatch),
+    clamped to [1, 32].  Non-negative values pass through (0 = in-process).
 
-    The budget this serves (measured, docs/data_pipeline.md): one core
-    decodes ~66 train samples/s with native decode, while one v5e chip
-    consumes 229 train samples/s — ~4 cores/chip at train, more at eval —
-    so a fixed small default (the reference's workers=2,
-    train.py:1388-1396) starves the chip on any real host."""
+    The capacity budget this serves is measured in docs/data_pipeline.md
+    ("Host-feed capacity budget" — the ONE authority; rerun
+    tools/bench_host_pipeline.py on a new host): one core decodes ~125
+    train samples/s with native decode vs a ~229 samples/s chip train rate
+    (~2 cores/chip; ~6 at gallery-eval rate), so a fixed small default (the
+    reference's workers=2, train.py:1388-1396) starves the chip on any
+    real host."""
     if n >= 0:
         return n
     import os
 
-    return max(1, min(32, (os.cpu_count() or 2) - 1))
+    # honor cgroup quotas / affinity masks: on a restricted container
+    # os.cpu_count() reports the machine, not the allotment
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        cores = os.cpu_count() or 2
+    return max(1, min(32, cores - 1))
 
 
 # ----- worker-process plumbing (spawn-safe, no jax in workers) -----

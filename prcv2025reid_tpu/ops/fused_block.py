@@ -323,8 +323,14 @@ def _fused_out_mlp_impl(
         out_shape=jax.ShapeDtypeStruct((G, Tp, D), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * G * Tp * D * (D + 2 * F),
+            # weight traffic at true widths: int8_mlp keeps the D*D out-proj
+            # at bf16 while fc1/fc2 are int8 (scheduler hint only)
             bytes_accessed=3 * G * Tp * D * x.dtype.itemsize
-            + G * D * (D + 2 * F) * (1 if int8 else 2),
+            + (
+                G * (D * D * 2 + 2 * D * F * 1)
+                if int8_mlp
+                else G * D * (D + 2 * F) * (1 if int8 else 2)
+            ),
             transcendentals=G * Tp * F,
         ),
         interpret=interpret,

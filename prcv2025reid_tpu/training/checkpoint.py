@@ -225,4 +225,17 @@ def latest_checkpoint_exists(directory: str, name: str = "latest") -> bool:
     verdict = np.asarray(
         1 if (is_main_process() and _is_complete(path)) else 0, np.int64
     )
-    return bool(multihost_utils.broadcast_one_to_all(verdict))
+    exists = bool(multihost_utils.broadcast_one_to_all(verdict))
+    if exists and not is_main_process():
+        # process 0 sees the checkpoint, but a shared-filesystem view can
+        # lag on other ranks — entering the collective orbax restore before
+        # the files are locally visible fails or stalls that rank.  Poll
+        # with a bounded timeout; on expiry proceed anyway (restore's own
+        # error is more informative than a silent False that would
+        # split-brain the ranks' control flow).
+        import time as _time
+
+        deadline = _time.monotonic() + 60.0
+        while not _is_complete(path) and _time.monotonic() < deadline:
+            _time.sleep(0.5)
+    return exists
