@@ -93,6 +93,12 @@ class TrainingConfig:
     adaptive_clip_pct: float = 0.70
     adaptive_clip_margin: float = 1.15
     adaptive_clip_window: int = 10
+    # AdamW second-moment (nu) accumulator STORAGE dtype: "float32" (default)
+    # or "bfloat16" (decay/bias-correction math stays f32; only the state
+    # buffer is narrowed, halving its per-step HBM read+write traffic).
+    # Promoted only through a same-day A/B pair + the trajectory-closeness
+    # test (docs/performance.md train table).
+    opt_nu_dtype: str = "float32"
 
     # ----- losses (reference: configs/config.py:84-116,173) -----
     ce_weight: float = 1.0
@@ -102,6 +108,10 @@ class TrainingConfig:
     sdm_weight_initial: float = 0.1
     sdm_weight_final: float = 0.5
     sdm_weight_max: float = 0.5
+    # SDM loss formulation: "unrolled" (default — one graph per non-vis
+    # modality, reference-shaped) or "batched" (one vmapped [M-1,B,B] pass;
+    # same math, measured in ops/losses.multimodal_sdm_loss_batched).
+    sdm_impl: str = "unrolled"
     # The live SDM weight before the scheduler's first epoch-driven update
     # (reference: models/model.py:294 reads it at init; train.py:836-850 falls
     # back to it when scheduler metrics are missing).  0.0 = warmup-silent.
@@ -356,6 +366,15 @@ class TrainingConfig:
         if self.remat_policy not in ("full", "dots"):
             raise ValueError(
                 f"remat_policy={self.remat_policy!r}; valid: ['dots', 'full']"
+            )
+        if self.opt_nu_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"opt_nu_dtype={self.opt_nu_dtype!r}; valid: "
+                "['bfloat16', 'float32']"
+            )
+        if self.sdm_impl not in ("unrolled", "batched"):
+            raise ValueError(
+                f"sdm_impl={self.sdm_impl!r}; valid: ['batched', 'unrolled']"
             )
         if self.num_workers < -1:
             raise ValueError(

@@ -475,6 +475,7 @@ def compute_loss(
     sdm_weight: float | jnp.ndarray = 0.0,
     sdm_tau: float | jnp.ndarray = 0.2,
     label_smoothing: float = 0.1,
+    sdm_impl: str = "unrolled",
 ) -> Dict[str, jnp.ndarray]:
     """CE + SDM combination (reference: models/model.py:512-659).
 
@@ -488,7 +489,11 @@ def compute_loss(
     (models/model.py:467-469,506), so both CE validity and the SDM loop see
     the dropout result.
     """
-    from prcv2025reid_tpu.ops.losses import masked_cross_entropy, multimodal_sdm_loss
+    from prcv2025reid_tpu.ops.losses import (
+        masked_cross_entropy,
+        multimodal_sdm_loss,
+        multimodal_sdm_loss_batched,
+    )
 
     masks = outputs.get("effective_masks", outputs["feature_masks"])  # [M, B]
     any_valid = (masks.sum(axis=0) > 0).astype(jnp.float32)  # [B]
@@ -496,7 +501,11 @@ def compute_loss(
         outputs["logits"], labels, any_valid, label_smoothing
     )
 
-    sdm = multimodal_sdm_loss(
+    sdm_fn = (
+        multimodal_sdm_loss_batched if sdm_impl == "batched"
+        else multimodal_sdm_loss
+    )
+    sdm = sdm_fn(
         outputs["raw_modality_features"].astype(jnp.float32),
         masks,
         labels,

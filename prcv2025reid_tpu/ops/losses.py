@@ -173,3 +173,32 @@ def multimodal_sdm_loss(
     # never fires and the zero is averaged in there too.
     total = (losses * gates).sum() / jnp.maximum(gates.sum(), 1.0)
     return jnp.where(jnp.isfinite(total), total, 0.0)
+
+
+def multimodal_sdm_loss_batched(
+    modality_features: jnp.ndarray,  # [Mv+1, B, D] raw features, slot order = MODALITIES
+    modality_masks: jnp.ndarray,  # [Mv+1, B] float masks, same order
+    labels: jnp.ndarray,  # [B]
+    tau: float | jnp.ndarray,
+    vis_slot: int = 0,
+) -> jnp.ndarray:
+    """Same math as :func:`multimodal_sdm_loss`, restructured for the TPU:
+    one vmapped pass over the stacked non-vis modalities (a single batched
+    [M-1, B, B] similarity contraction + batched masked softmaxes) instead
+    of M-1 Python-unrolled per-modality graphs.  Fewer, larger fusions —
+    the ROADMAP "chunked SDM" train-step candidate; promoted only through a
+    same-day A/B pair plus the train golden-parity tolerance
+    (config.sdm_impl='batched')."""
+    labels = labels.astype(jnp.int32)
+    y_full = (labels[:, None] == labels[None, :]).astype(jnp.float32)  # [B, B]
+    vis_feat = modality_features[vis_slot]
+    vis_mask = modality_masks[vis_slot]
+
+    idx = jnp.asarray(
+        [m for m in range(modality_features.shape[0]) if m != vis_slot]
+    )
+    losses, gates = jax.vmap(
+        lambda q, qm: sdm_loss(q, vis_feat, y_full, qm, vis_mask, tau)
+    )(modality_features[idx], modality_masks[idx])
+    total = (losses * gates).sum() / jnp.maximum(gates.sum(), 1.0)
+    return jnp.where(jnp.isfinite(total), total, 0.0)

@@ -182,6 +182,60 @@ def group_schedules(config: TrainingConfig, steps_per_epoch: int) -> Dict[str, C
     }
 
 
+def adamw_nu_dtype(
+    learning_rate,
+    weight_decay: float,
+    nu_dtype,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """optax.adamw with the second-moment (nu) accumulator STORED in
+    ``nu_dtype`` (typically bfloat16).  All decay/bias-correction math runs
+    in float32 — only the state buffer between steps is narrowed, halving
+    the largest optimizer-state read+write per step.  State structure
+    mirrors optax.adamw (chain of scale_by_adam-shaped state,
+    add_decayed_weights, scale_by_learning_rate) so checkpoint templates
+    line up when the config is consistent."""
+    import jax.numpy as jnp
+
+    def init(params):
+        mu = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        nu = jax.tree.map(lambda p: jnp.zeros(p.shape, nu_dtype), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree.map(
+            lambda g, m: b1 * m + (1.0 - b1) * g.astype(jnp.float32),
+            updates,
+            state.mu,
+        )
+        nu_f32 = jax.tree.map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates,
+            state.nu,
+        )
+        count = optax.safe_int32_increment(state.count)
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**c
+        bc2 = 1.0 - b2**c
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_f32
+        )
+        nu = jax.tree.map(lambda v: v.astype(nu_dtype), nu_f32)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.chain(
+        optax.GradientTransformation(init, update),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 def build_optimizer(
     config: TrainingConfig,
     params,
@@ -208,6 +262,14 @@ def build_optimizer(
     for g in GROUPS:
         if g == "frozen":
             transforms[g] = optax.set_to_zero()
+        elif config.opt_nu_dtype != "float32":
+            import jax.numpy as jnp
+
+            transforms[g] = adamw_nu_dtype(
+                learning_rate=schedules[g],
+                weight_decay=config.weight_decay,
+                nu_dtype=jnp.dtype(config.opt_nu_dtype),
+            )
         else:
             transforms[g] = optax.adamw(
                 learning_rate=schedules[g],

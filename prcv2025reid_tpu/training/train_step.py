@@ -191,6 +191,7 @@ def make_train_step(
                 sdm_weight=sdm_weight,
                 sdm_tau=sdm_tau,
                 label_smoothing=config.label_smoothing,
+                sdm_impl=config.sdm_impl,
             )
             return losses["total_loss"], (losses, outputs, updates["batch_stats"])
 

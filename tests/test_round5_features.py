@@ -1,0 +1,159 @@
+"""Round-5 features: batched SDM formulation and bf16 optimizer second
+moments — both default-off train-step candidates (VERDICT r4 "weak #1";
+ROADMAP train-side residual).  Promotion requires a same-day on-chip A/B
+pair; these tests pin the MATH so the A/B only measures speed."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from prcv2025reid_tpu.configs import TrainingConfig
+from prcv2025reid_tpu.ops.losses import (
+    multimodal_sdm_loss,
+    multimodal_sdm_loss_batched,
+)
+from prcv2025reid_tpu.training.param_groups import adamw_nu_dtype
+
+
+class TestBatchedSDM:
+    def _data(self, seed=0, mods=5, B=12, D=32):
+        rng = np.random.default_rng(seed)
+        feats = jnp.asarray(rng.normal(size=(mods, B, D)), jnp.float32)
+        masks = jnp.asarray(rng.random((mods, B)) > 0.3, jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 4, B), jnp.int32)
+        return feats, masks, labels
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_value_matches_unrolled(self, seed):
+        feats, masks, labels = self._data(seed)
+        a = multimodal_sdm_loss(feats, masks, labels, 0.2)
+        b = multimodal_sdm_loss_batched(feats, masks, labels, 0.2)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6, atol=1e-6)
+
+    def test_grad_matches_unrolled(self):
+        feats, masks, labels = self._data(3)
+        ga = jax.grad(lambda f: multimodal_sdm_loss(f, masks, labels, 0.18))(feats)
+        gb = jax.grad(
+            lambda f: multimodal_sdm_loss_batched(f, masks, labels, 0.18)
+        )(feats)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
+    def test_all_masked_modality(self):
+        feats, masks, labels = self._data(4)
+        masks = masks.at[2].set(0.0)  # one modality fully absent
+        a = multimodal_sdm_loss(feats, masks, labels, 0.2)
+        b = multimodal_sdm_loss_batched(feats, masks, labels, 0.2)
+        np.testing.assert_allclose(float(a), float(b), atol=1e-6)
+        assert np.isfinite(float(b))
+
+    def test_compute_loss_threads_impl(self):
+        from prcv2025reid_tpu.models.reid_model import compute_loss
+
+        rng = np.random.default_rng(5)
+        B, C, D = 8, 6, 16
+        outputs = {
+            "logits": jnp.asarray(rng.normal(size=(B, C)), jnp.float32),
+            "raw_modality_features": jnp.asarray(
+                rng.normal(size=(5, B, D)), jnp.float32
+            ),
+            "feature_masks": jnp.ones((5, B), jnp.float32),
+        }
+        labels = jnp.asarray(rng.integers(0, C, B), jnp.int32)
+        la = compute_loss(outputs, labels, sdm_weight=0.5, sdm_impl="unrolled")
+        lb = compute_loss(outputs, labels, sdm_weight=0.5, sdm_impl="batched")
+        np.testing.assert_allclose(
+            float(la["total_loss"]), float(lb["total_loss"]), rtol=1e-6
+        )
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="sdm_impl"):
+            TrainingConfig(sdm_impl="nope")
+
+
+class TestNuDtypeAdamW:
+    def _run(self, tx, params, grads_seq):
+        state = tx.init(params)
+        for g in grads_seq:
+            updates, state = tx.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        return params, state
+
+    def test_state_dtype_and_trajectory_close(self):
+        rng = np.random.default_rng(0)
+        params = {
+            "w": jnp.asarray(rng.normal(size=(16, 8)), jnp.float32),
+            "b": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+        }
+        grads_seq = [
+            jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape) * 0.1, jnp.float32
+                ),
+                params,
+            )
+            for _ in range(25)
+        ]
+        ref_tx = optax.adamw(learning_rate=1e-3, weight_decay=1e-4)
+        p_ref, _ = self._run(ref_tx, params, grads_seq)
+        bf_tx = adamw_nu_dtype(
+            learning_rate=1e-3, weight_decay=1e-4, nu_dtype=jnp.bfloat16
+        )
+        p_bf, s_bf = self._run(bf_tx, params, grads_seq)
+
+        # nu leaves really are stored narrow
+        nus = jax.tree.leaves(s_bf[0].nu)
+        assert all(v.dtype == jnp.bfloat16 for v in nus)
+        # trajectory stays close to f32 AdamW: the Adam step is
+        # scale-invariant in nu up to sqrt of the bf16 relative error
+        # (~0.4%), so parameter drift stays well under the update scale
+        for k in params:
+            drift = float(jnp.abs(p_bf[k] - p_ref[k]).max())
+            moved = float(jnp.abs(p_ref[k] - params[k]).max())
+            assert drift < 0.05 * max(moved, 1e-6), (k, drift, moved)
+
+    def test_f32_nu_matches_optax_adamw(self):
+        rng = np.random.default_rng(1)
+        params = {"w": jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)}
+        grads_seq = [
+            {"w": jnp.asarray(rng.normal(size=(8, 4)) * 0.1, jnp.float32)}
+            for _ in range(10)
+        ]
+        ref_tx = optax.adamw(learning_rate=2e-3, weight_decay=1e-4)
+        p_ref, _ = self._run(ref_tx, params, grads_seq)
+        my_tx = adamw_nu_dtype(
+            learning_rate=2e-3, weight_decay=1e-4, nu_dtype=jnp.float32
+        )
+        p_my, _ = self._run(my_tx, params, grads_seq)
+        np.testing.assert_allclose(
+            np.asarray(p_my["w"]), np.asarray(p_ref["w"]), rtol=2e-5, atol=2e-6
+        )
+
+    def test_build_optimizer_threads_nu_dtype(self):
+        from prcv2025reid_tpu.training.param_groups import build_optimizer
+
+        config = TrainingConfig(opt_nu_dtype="bfloat16", num_workers=0)
+        # a LoRA leaf: trainable under the default freeze_backbone=True
+        params = {
+            "encoder": {
+                "block_0": {
+                    "attn": {
+                        "q_proj": {
+                            "lora_A": {"nir": jnp.zeros((4, 4), jnp.float32)}
+                        }
+                    }
+                }
+            }
+        }
+        tx = build_optimizer(config, params, steps_per_epoch=10)
+        state = tx.init(params)
+        dtypes = {
+            str(leaf.dtype)
+            for leaf in jax.tree.leaves(state)
+            if hasattr(leaf, "dtype") and leaf.ndim > 0
+        }
+        assert "bfloat16" in dtypes
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="opt_nu_dtype"):
+            TrainingConfig(opt_nu_dtype="float16")
