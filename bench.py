@@ -61,6 +61,15 @@ IMPL_CONFIG = {
     "onesaug": {"attn_backend": "onesaug"},
     "tanhgelu": {"gelu_impl": "tanh"},
     "onesaug_tanh": {"attn_backend": "onesaug", "gelu_impl": "tanh"},
+    # gated FLOP reduction (VERDICT r4 #4): EViT-style token keep after
+    # block 6 on top of the recorded winner; 126/94 keep 128/96 upper-trunk
+    # tokens (tile-friendly).  Inexact — the two gates adjudicate.
+    "onesaug_tanh_tome158": {"attn_backend": "onesaug", "gelu_impl": "tanh",
+                             "token_keep": 158},
+    "onesaug_tanh_tome126": {"attn_backend": "onesaug", "gelu_impl": "tanh",
+                             "token_keep": 126},
+    "onesaug_tanh_tome94": {"attn_backend": "onesaug", "gelu_impl": "tanh",
+                            "token_keep": 94},
     "fused_int8_onesaug": {"block_impl": "fused_int8",
                            "attn_backend": "onesaug"},
 }

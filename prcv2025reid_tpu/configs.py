@@ -282,6 +282,15 @@ class TrainingConfig:
     # backward — less recompute, less memory saving.
     remat_policy: str = "full"
     rank_topk: int = 100  # submission export depth (tools/eval_mm_protocol.py:629-643)
+    # Gated FLOP reduction on the EVAL trunk (EViT-style, VERDICT r4 #4):
+    # after block token_reduce_layer, keep the token_keep patch tokens most
+    # cosine-similar to CLS, plus one merged token carrying the mean of the
+    # dropped ones ('merge') or nothing ('prune').  INEXACT: may only become
+    # the bench headline through BOTH promotion gates (min-cosine >= 0.999
+    # AND ranking equivalence).  0 = off.  Training never reduces tokens.
+    token_keep: int = 0
+    token_reduce_layer: int = 6
+    token_reduce_mode: str = "merge"  # 'merge' | 'prune'
 
     # populated at runtime
     num_classes: Optional[int] = None
@@ -375,6 +384,20 @@ class TrainingConfig:
         if self.sdm_impl not in ("unrolled", "batched"):
             raise ValueError(
                 f"sdm_impl={self.sdm_impl!r}; valid: ['batched', 'unrolled']"
+            )
+        if self.token_reduce_mode not in ("merge", "prune"):
+            raise ValueError(
+                f"token_reduce_mode={self.token_reduce_mode!r}; valid: "
+                "['merge', 'prune']"
+            )
+        if self.token_keep < 0:
+            raise ValueError(f"token_keep={self.token_keep} must be >= 0")
+        if self.token_keep and not (
+            0 < self.token_reduce_layer < self.vision_layers
+        ):
+            raise ValueError(
+                f"token_reduce_layer={self.token_reduce_layer} must be in "
+                f"[1, vision_layers-1={self.vision_layers - 1}]"
             )
         if self.num_workers < -1:
             raise ValueError(

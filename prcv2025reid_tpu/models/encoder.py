@@ -51,6 +51,9 @@ class UnifiedEncoder(nn.Module):
     attn_bwd: str = "stored"
     remat_blocks: bool = False
     remat_policy: str = "full"
+    token_keep: int = 0  # eval-path token reduction (see configs.py)
+    token_reduce_layer: int = 6
+    token_reduce_mode: str = "merge"
 
     @classmethod
     def from_config(cls, config: TrainingConfig, dtype=None) -> "UnifiedEncoder":
@@ -83,6 +86,9 @@ class UnifiedEncoder(nn.Module):
             attn_bwd=config.attn_bwd,
             remat_blocks=config.remat_blocks,
             remat_policy=config.remat_policy,
+            token_keep=config.token_keep,
+            token_reduce_layer=config.token_reduce_layer,
+            token_reduce_mode=config.token_reduce_mode,
         )
 
     def setup(self):
@@ -110,6 +116,9 @@ class UnifiedEncoder(nn.Module):
             attn_bwd=self.attn_bwd,
             remat_blocks=self.remat_blocks,
             remat_policy=self.remat_policy,
+            token_keep=self.token_keep,
+            token_reduce_layer=self.token_reduce_layer,
+            token_reduce_mode=self.token_reduce_mode,
         )
         self.text = TextTower(
             vocab_size=self.text_vocab,

@@ -106,6 +106,15 @@ class MERVisionTransformer(nn.Module):
     # training batches (config.remat_blocks).
     remat_blocks: bool = False
     remat_policy: str = "full"  # "full" | "dots" (see configs.py)
+    # Gated FLOP reduction on the EVAL path (config.token_keep): after block
+    # token_reduce_layer, keep only the token_keep patch tokens most similar
+    # to CLS (+ one merged token carrying the dropped content in 'merge'
+    # mode), shrinking every upper block's [S, D] work.  INEXACT — may only
+    # become a headline path through bench.py's two promotion gates
+    # (min-cosine + ranking equivalence).  0 = off.  Training never reduces.
+    token_keep: int = 0
+    token_reduce_layer: int = 6
+    token_reduce_mode: str = "merge"  # "merge" | "prune"
 
     def setup(self):
         num_patches = (self.image_size // self.patch_size) ** 2
@@ -216,8 +225,17 @@ class MERVisionTransformer(nn.Module):
         # block stays on the plain rematted __call__ (cls_only through the
         # lifted-transform wrapper is not remat-covered).
         if deterministic or not self.remat_blocks:
-            for block in self.blocks[:-1]:
+            reduce_after = (
+                self.token_reduce_layer - 1
+                if deterministic
+                and 0 < self.token_keep < x.shape[2] - 1
+                and 0 < self.token_reduce_layer < self.num_layers
+                else None
+            )
+            for i, block in enumerate(self.blocks[:-1]):
                 x = block(x, expert_ids, deterministic)
+                if i == reduce_after:
+                    x = self._reduce_tokens(x)
             cls = self.blocks[-1].cls_only_call(
                 x, expert_ids, deterministic
             )
@@ -228,6 +246,44 @@ class MERVisionTransformer(nn.Module):
             x = block(x, expert_ids, deterministic)
         cls = ln_apply(x[:, :, 0], *self.ln_final())
         return self.proj(cls)
+
+    def _reduce_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
+        """EViT-style token reduction: [G, B, S, D] -> [G, B, K+2, D]
+        (CLS + top-K patch tokens by CLS-cosine + one merged token), or
+        [G, B, K+1, D] in 'prune' mode (dropped tokens discarded).
+
+        Scoring uses cosine(token, CLS) on the current hidden states — no
+        attention-core internals needed, so every attention backend
+        (xla/onesaug/splash) composes with it.  jax.lax.top_k gives a
+        deterministic, static-shape keep set; the merged token carries the
+        mean of the dropped tokens so global pooled content survives into
+        the upper blocks (EViT's fused-token idea).
+        """
+        import jax
+
+        G, B, S, D = x.shape
+        K = int(self.token_keep)
+        xf = x.astype(jnp.float32)
+        n = xf / jnp.maximum(
+            jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-6
+        )
+        scores = (n[:, :, 1:] * n[:, :, :1]).sum(-1)  # [G, B, S-1]
+        _, idx = jax.lax.top_k(scores, K)  # [G, B, K] patch positions
+        kept = jnp.take_along_axis(
+            x[:, :, 1:], idx[..., None], axis=2
+        )  # [G, B, K, D]
+        if self.token_reduce_mode == "prune":
+            return jnp.concatenate([x[:, :, :1], kept], axis=2)
+        # merge: one token = mean of the dropped patch tokens (total minus
+        # kept, in f32 so the subtraction does not cancel in bf16)
+        total = xf[:, :, 1:].sum(axis=2)  # [G, B, D]
+        kept_sum = jnp.take_along_axis(
+            xf[:, :, 1:], idx[..., None], axis=2
+        ).sum(axis=2)
+        merged = (total - kept_sum) / jnp.maximum(S - 1 - K, 1)
+        return jnp.concatenate(
+            [x[:, :, :1], kept, merged[:, :, None].astype(x.dtype)], axis=2
+        )
 
     def _use_fused_resln(self) -> bool:
         if self.resln_impl == "xla":

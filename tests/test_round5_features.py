@@ -71,6 +71,93 @@ class TestBatchedSDM:
             TrainingConfig(sdm_impl="nope")
 
 
+TINY4 = dict(
+    vision_hidden_dim=64, vision_layers=4, vision_heads=4,
+    vision_mlp_dim=128, text_hidden_dim=32, text_layers=2, text_heads=4,
+    text_mlp_dim=64, text_vocab_size=100, text_context_length=16,
+    image_size=64, fusion_dim=32, sdm_semantic_dim=32, sdm_num_heads=4,
+    fusion_num_heads=4, compute_dtype="float32", drop_path=0.0,
+)
+
+
+class TestTokenReduction:
+    """EViT-style eval-path token reduction (config.token_keep) — the
+    VERDICT r4 #4 gated FLOP-reduction lever.  These pin mechanics; the
+    promotion decision is bench.py's two gates on chip."""
+
+    def _encode(self, **kw):
+        from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.normal(size=(2, 4, 64, 64, 3)), jnp.float32)
+        mask = jnp.ones((2, 4), jnp.float32)
+        tok = jnp.zeros((2, 16), jnp.int32)
+        tm = jnp.ones((2,), jnp.float32)
+        cfg = TrainingConfig(**TINY4, **kw)
+        model = MultiModalReIDModel(config=cfg, num_classes=8)
+        v = model.init(
+            {"params": jax.random.PRNGKey(0)}, imgs, mask, tok, tm,
+            train=False,
+        )
+        out = model.apply(
+            v, imgs, mask, tok, tm, ("vis",), method=model.encode_subset
+        )
+        return np.asarray(out), (model, v, imgs, mask, tok, tm)
+
+    def test_reduction_changes_eval_not_params(self):
+        base, _ = self._encode()
+        red, _ = self._encode(token_keep=8, token_reduce_layer=2)
+        assert base.shape == red.shape
+        assert np.abs(base - red).max() > 1e-6  # inexact by design
+        # but correlated: the kept+merged content carries the signal
+        cos = (base * red).sum(-1) / (
+            np.linalg.norm(base, axis=-1) * np.linalg.norm(red, axis=-1)
+        )
+        assert (cos > 0.5).all(), cos
+
+    def test_keep_beyond_patches_is_noop(self):
+        base, _ = self._encode()
+        noop, _ = self._encode(token_keep=999, token_reduce_layer=2)
+        np.testing.assert_allclose(base, noop)
+
+    def test_prune_differs_from_merge(self):
+        merge, _ = self._encode(token_keep=8, token_reduce_layer=2)
+        prune, _ = self._encode(
+            token_keep=8, token_reduce_layer=2, token_reduce_mode="prune"
+        )
+        assert np.abs(merge - prune).max() > 1e-7
+
+    def test_training_forward_never_reduces(self):
+        _, (m0, v0, imgs, mask, tok, tm) = self._encode()
+        _, (m1, v1, *_unused) = self._encode(
+            token_keep=8, token_reduce_layer=2
+        )
+        rngs = {
+            "dropout": jax.random.PRNGKey(1),
+            "droppath": jax.random.PRNGKey(2),
+            "moddrop": jax.random.PRNGKey(3),
+        }
+        o0, _ = m0.apply(
+            v0, imgs, mask, tok, tm, train=True,
+            mutable=["batch_stats"], rngs=rngs,
+        )
+        o1, _ = m1.apply(
+            v1, imgs, mask, tok, tm, train=True,
+            mutable=["batch_stats"], rngs=rngs,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o0["features"]), np.asarray(o1["features"])
+        )
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="token_reduce_mode"):
+            TrainingConfig(token_reduce_mode="avg")
+        with pytest.raises(ValueError, match="token_reduce_layer"):
+            TrainingConfig(token_keep=8, token_reduce_layer=0)
+        with pytest.raises(ValueError, match="token_keep"):
+            TrainingConfig(token_keep=-1)
+
+
 class TestNuDtypeAdamW:
     def _run(self, tx, params, grads_seq):
         state = tx.init(params)

@@ -40,6 +40,17 @@ RECORDED = {
 TOLERANCE = 0.15
 RECORDED_WINNER = "onesaug_tanh"  # docs/performance.md round-3 headline
 
+# Donated full-size train-step rate (it/s) at the production 8x4 recipe,
+# DEFAULT config (attn_bwd/gelu_bwd stored, donation on), measured via
+# tools/trace_train.py --no-trace.  The round-3 -> round-4 toolchain drift
+# (~-15% at identical configs) was caught only incidentally (VERDICT r4);
+# this probe makes the train step part of the watch.  Same
+# reproduce-before-report rule as the matmul probes.  None = no donation
+# yet on this toolchain: the watch prints the measurement and asks for a
+# record instead of judging.
+RECORDED_TRAIN_ITS = None  # filled by the round-5 chip session donation
+TRAIN_TOLERANCE = 0.15
+
 
 # probe stdout label -> RECORDED key (tools/perf_microbench.py timed())
 _PROBE_LABELS = {
@@ -122,14 +133,75 @@ def confirm_probes(probes, run_again):
     return probes, evidence
 
 
+def run_train_probe():
+    """Time the default-config full-size train step at 8x4 in a SUBPROCESS
+    (tools/trace_train.py --no-trace); returns it/s or None."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "trace_train.py"),
+         "--pk", "8x4", "--steps", "20", "--no-trace"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    sys.stdout.write(proc.stdout)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr)
+    for line in proc.stdout.splitlines():
+        if line.startswith("steady state:"):
+            try:
+                return float(line.split(":")[1].split()[0])
+            except (ValueError, IndexError):
+                pass
+    return None
+
+
+def check_train_probe(changed):
+    """Train-step probe with the reproduce-before-report rule."""
+    its = run_train_probe()
+    print("\n== train-step probe (8x4, default config) ==")
+    if RECORDED_TRAIN_ITS is None:
+        print(f"  train_8x4: {its} it/s — NO RECORD on this toolchain; "
+              "donate it to RECORDED_TRAIN_ITS")
+        return
+    if its is not None and abs(its - RECORDED_TRAIN_ITS) / RECORDED_TRAIN_ITS \
+            <= TRAIN_TOLERANCE:
+        print(f"  train_8x4: {its:.2f} vs recorded {RECORDED_TRAIN_ITS:.2f} "
+              f"it/s ({(its - RECORDED_TRAIN_ITS) / RECORDED_TRAIN_ITS:+.1%}) "
+              "PASS")
+        return
+    # deviation (or no reading): one confirming re-run, keep the closer one
+    second = run_train_probe()
+    readings = [v for v in (its, second) if v is not None]
+    if not readings:
+        changed.append("probe train_8x4: FAILED (no reading on either run)")
+        print(f"  train_8x4: FAILED (recorded {RECORDED_TRAIN_ITS:.2f} it/s)")
+        return
+    best = min(readings, key=lambda v: abs(v - RECORDED_TRAIN_ITS))
+    delta = (best - RECORDED_TRAIN_ITS) / RECORDED_TRAIN_ITS
+    if abs(delta) <= TRAIN_TOLERANCE:
+        print(f"  train_8x4: {best:.2f} vs recorded {RECORDED_TRAIN_ITS:.2f} "
+              f"it/s ({delta:+.1%}) PASS (first reading was noise)")
+        return
+    how = ("reproduced on 2 runs" if len(readings) == 2
+           else "SINGLE measurement (the other run produced no reading)")
+    changed.append(
+        f"probe train_8x4: {best:.2f} vs {RECORDED_TRAIN_ITS:.2f} it/s ({how})"
+    )
+    print(f"  train_8x4: {best:.2f} vs recorded {RECORDED_TRAIN_ITS:.2f} "
+          f"it/s ({delta:+.1%}) CHANGED")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--fast", action="store_true",
                     help="probes only, skip the full bench sweep")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the train-step probe")
     args = ap.parse_args(argv)
 
     changed = []
     probes, evidence = confirm_probes(run_probes(), run_probes)
+    if not args.no_train:
+        check_train_probe(changed)
     print("\n== probe diff vs docs/performance.md ==")
     for name, rec in RECORDED.items():
         got = probes.get(name)

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Bounded k-reciprocal re-ranking parameter sweep on synthetic clustered
+galleries (VERDICT r4 #7: the shipped defaults k1=20, k2=6, lam=0.3,
+top_n=100 were paper defaults, untuned).
+
+Gallery model (ReID-shaped): each identity is a unit base direction; gallery
+instances = base + sigma_g * noise; queries come from a "different modality"
+= base + shared modality offset + sigma_q * noise, all L2-normalized.
+Distractor identities appear only in the gallery.  Difficulty (sigma) is
+swept so the plain-cosine mAP lands in the mid-range where re-ranking has
+room to act, plus an easy and a hard edge case.
+
+Prints a sensitivity table (mAP delta vs plain cosine per parameter combo)
+and a per-difficulty best row.  Runs on CPU in a few minutes.
+
+Usage: python tools/tune_rerank.py [--out docs/artifacts/rerank_sweep.json]
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def make_clustered(
+    n_ids=160, per_id_g=8, n_distract=40, n_q=320, dim=128,
+    sigma_g=0.6, sigma_q=0.8, mod_offset=0.5, contam=0.0, seed=0,
+):
+    """``contam`` pulls each query toward ANOTHER identity's base — the
+    regime where k-reciprocity provably helps (the contaminating id's
+    gallery items are reciprocal to each other, not to the query;
+    tests/test_rerank.py::test_improves_map_on_clustered_data)."""
+    rng = np.random.default_rng(seed)
+
+    def unit(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    bases = unit(rng.normal(size=(n_ids + n_distract, dim)))
+    offset = unit(rng.normal(size=(dim,)))  # shared cross-modal shift
+
+    g_pids = np.repeat(np.arange(n_ids + n_distract), per_id_g)
+    g = unit(bases[g_pids] + sigma_g * rng.normal(size=(len(g_pids), dim)))
+
+    q_pids = rng.integers(0, n_ids, n_q)  # queries only over real ids
+    other = (q_pids + 1 + rng.integers(0, n_ids - 1, n_q)) % n_ids
+    q = unit(
+        bases[q_pids]
+        + contam * bases[other]
+        + mod_offset * offset
+        + sigma_q * rng.normal(size=(n_q, dim))
+    )
+    return (
+        q.astype(np.float32),
+        q_pids.astype(np.int64),
+        g.astype(np.float32),
+        g_pids.astype(np.int64),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller grid (CI-sized)")
+    args = ap.parse_args()
+
+    from prcv2025reid_tpu.evaluation.protocol import compute_retrieval_metrics
+    from prcv2025reid_tpu.evaluation.rerank import rerank_orders
+
+    difficulties = {
+        "easy": dict(sigma_g=0.4, sigma_q=0.5),
+        "mid": dict(sigma_g=0.6, sigma_q=0.8),
+        "hard": dict(sigma_g=0.8, sigma_q=1.1),
+        "contam": dict(sigma_g=0.4, sigma_q=0.3, contam=0.7),
+        "contam_hard": dict(sigma_g=0.6, sigma_q=0.5, contam=0.9),
+    }
+    if args.quick:
+        grid_k1 = [10, 20]
+        grid_k2 = [3, 6]
+        grid_lam = [0.3, 0.5]
+        grid_topn = [100]
+        difficulties = {"mid": difficulties["mid"]}
+    else:
+        grid_k1 = [10, 15, 20, 30]
+        grid_k2 = [1, 3, 6, 9]
+        grid_lam = [0.1, 0.3, 0.5, 0.7]
+        grid_topn = [50, 100]
+
+    results = []
+    for dname, dkw in difficulties.items():
+        # two seeds per difficulty: a combo must win on both to matter
+        sets = [make_clustered(seed=s, **dkw) for s in (0, 1)]
+        plains = [
+            compute_retrieval_metrics(q, qp, g, gp)["mAP"]
+            for (q, qp, g, gp) in sets
+        ]
+        print(f"[{dname}] plain cosine mAP: "
+              + ", ".join(f"{p:.4f}" for p in plains), flush=True)
+        results.append(
+            {"difficulty": dname,
+             "plain_mAP": [round(p, 4) for p in plains]}
+        )
+        for k1, k2, lam, top_n in itertools.product(
+            grid_k1, grid_k2, grid_lam, grid_topn
+        ):
+            if k2 > k1:
+                continue
+            deltas = []
+            for (q, qp, g, gp), plain in zip(sets, plains):
+                orders = rerank_orders(
+                    q, g, top_n=top_n, k1=k1, k2=k2, lam=lam
+                )
+                m = compute_retrieval_metrics(q, qp, g, gp, boost_idx=orders)
+                deltas.append(m["mAP"] - plain)
+            results.append(
+                {
+                    "difficulty": dname,
+                    "k1": k1,
+                    "k2": k2,
+                    "lam": lam,
+                    "top_n": top_n,
+                    "delta_seed0": round(deltas[0], 4),
+                    "delta_seed1": round(deltas[1], 4) if len(deltas) > 1 else None,
+                    "delta_min": round(min(deltas), 4),
+                }
+            )
+            print(
+                f"[{dname}] k1={k1:2d} k2={k2} lam={lam} top_n={top_n:3d} "
+                f"dmAP={min(deltas):+.4f}",
+                flush=True,
+            )
+
+    for dname in difficulties:
+        rows = [r for r in results if r["difficulty"] == dname and "k1" in r]
+        best = max(rows, key=lambda r: r["delta_min"])
+        default = [
+            r for r in rows
+            if r["k1"] == 20 and r["k2"] == 6 and r["lam"] == 0.3
+            and r["top_n"] == 100
+        ]
+        print(f"[{dname}] BEST {best}")
+        if default:
+            print(f"[{dname}] DEFAULT {default[0]}")
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
