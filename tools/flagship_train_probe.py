@@ -55,10 +55,10 @@ def run_train(args, num_epochs: int, work: str, root: str) -> float:
     """One train.py invocation (subprocess: jax re-initializes per phase,
     which is what makes phase 2 a REAL resume-from-disk).  Returns wall s."""
     entry = os.path.join(REPO, "train.py")
-    if args.tiny:
-        # the environment force-selects the TPU platform; tiny mode must run
-        # on CPU, which requires flipping the jax config AFTER import — so
-        # launch through a real shim file (spawn-safe: __main__ guard)
+    if args.tiny or args.cpu:
+        # the environment force-selects the TPU platform; tiny/cpu modes must
+        # run on CPU, which requires flipping the jax config AFTER import —
+        # so launch through a real shim file (spawn-safe: __main__ guard)
         entry = os.path.join(work, "_train_cpu_shim.py")
         with open(entry, "w") as f:
             f.write(_CPU_SHIM.format(
@@ -142,6 +142,9 @@ def main():
                     help="wipe --work before running")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model on CPU — validates the probe itself")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU at whatever dims --train-flag sets "
+                         "(scale-bisection between --tiny and the chip run)")
     ap.add_argument("--assert-only", action="store_true",
                     help="skip training; re-run the assertions/artifact copy "
                          "against the CSVs already in --work (for gate fixes "

@@ -40,6 +40,13 @@ def main():
                     help="donate the train state into the step; default ON to "
                          "match the Trainer (configs.donate_train_state) — "
                          "--no-donate measures the non-aliasing step")
+    ap.add_argument("--sdm-impl", default="unrolled",
+                    choices=("unrolled", "batched"),
+                    help="SDM loss formulation (configs.sdm_impl)")
+    ap.add_argument("--nu-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="AdamW second-moment storage dtype "
+                         "(configs.opt_nu_dtype)")
     args = ap.parse_args()
     P, K = (int(v) for v in args.pk.split("x"))
     B = P * K
@@ -66,6 +73,8 @@ def main():
         remat_policy=args.remat_policy,
         gelu_bwd=args.gelu_bwd,
         attn_bwd=args.attn_bwd,
+        sdm_impl=args.sdm_impl,
+        opt_nu_dtype=args.nu_dtype,
     )
     num_classes = 400
     model = MultiModalReIDModel(config=config, num_classes=num_classes)

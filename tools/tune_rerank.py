@@ -34,7 +34,7 @@ import numpy as np  # noqa: E402
 
 
 def make_clustered(
-    n_ids=160, per_id_g=8, n_distract=40, n_q=320, dim=128,
+    n_ids=160, per_id_g=8, n_distract=40, n_q=320, dim=64,
     sigma_g=0.6, sigma_q=0.8, mod_offset=0.5, contam=0.0, seed=0,
 ):
     """``contam`` pulls each query toward ANOTHER identity's base — the
@@ -46,11 +46,18 @@ def make_clustered(
     def unit(x):
         return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
+    def noise(shape, sigma):
+        # UNIT-normalized noise scaled by sigma: sigma is then the true
+        # noise-to-signal norm ratio (a raw sigma*normal(dim) draw has norm
+        # sigma*sqrt(dim) and swamps the unit base — the v1 sweep bug that
+        # put every regime at chance-level mAP)
+        return sigma * unit(rng.normal(size=shape))
+
     bases = unit(rng.normal(size=(n_ids + n_distract, dim)))
     offset = unit(rng.normal(size=(dim,)))  # shared cross-modal shift
 
     g_pids = np.repeat(np.arange(n_ids + n_distract), per_id_g)
-    g = unit(bases[g_pids] + sigma_g * rng.normal(size=(len(g_pids), dim)))
+    g = unit(bases[g_pids] + noise((len(g_pids), dim), sigma_g))
 
     q_pids = rng.integers(0, n_ids, n_q)  # queries only over real ids
     other = (q_pids + 1 + rng.integers(0, n_ids - 1, n_q)) % n_ids
@@ -58,7 +65,7 @@ def make_clustered(
         bases[q_pids]
         + contam * bases[other]
         + mod_offset * offset
-        + sigma_q * rng.normal(size=(n_q, dim))
+        + noise((n_q, dim), sigma_q)
     )
     return (
         q.astype(np.float32),
@@ -78,12 +85,19 @@ def main():
     from prcv2025reid_tpu.evaluation.protocol import compute_retrieval_metrics
     from prcv2025reid_tpu.evaluation.rerank import rerank_orders
 
+    # Regime calibration (measured): re-ranking's gain window is steep in
+    # BOTH noise axes.  sigma_q beyond ~1.3x sigma_g buries the query's true
+    # neighborhood and every parameter choice lands at delta ~0 (the v2
+    # sweep's mistake); sigma_g under ~0.8 makes plain cosine saturate
+    # (~0.99 mAP) with nothing to recover.  These five sit across the
+    # informative band: plain mAP 0.45-0.97, default-parameter deltas
+    # +0.03..+0.19.
     difficulties = {
-        "easy": dict(sigma_g=0.4, sigma_q=0.5),
-        "mid": dict(sigma_g=0.6, sigma_q=0.8),
-        "hard": dict(sigma_g=0.8, sigma_q=1.1),
-        "contam": dict(sigma_g=0.4, sigma_q=0.3, contam=0.7),
-        "contam_hard": dict(sigma_g=0.6, sigma_q=0.5, contam=0.9),
+        "easy": dict(sigma_g=0.9, sigma_q=1.0),
+        "mid": dict(sigma_g=1.1, sigma_q=1.2),
+        "hard": dict(sigma_g=1.35, sigma_q=1.5),
+        "contam": dict(sigma_g=0.9, sigma_q=1.0, contam=0.8),
+        "contam_hard": dict(sigma_g=1.2, sigma_q=1.3, contam=0.8),
     }
     if args.quick:
         grid_k1 = [10, 20]
