@@ -80,10 +80,36 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--quick", action="store_true",
                     help="smaller grid (CI-sized)")
+    ap.add_argument("--density", action="store_true",
+                    help="per_id_g x k1 grid instead of the difficulty "
+                         "sweep: shows optimal k1 tracks instances-per-id "
+                         "(the reason the paper defaults survive the sweep)")
     args = ap.parse_args()
 
     from prcv2025reid_tpu.evaluation.protocol import compute_retrieval_metrics
     from prcv2025reid_tpu.evaluation.rerank import rerank_orders
+
+    if args.density:
+        print("per_id_g x k1 (mid regime, k2=3 lam=0.3 top_n=100, "
+              "delta_min over 2 seeds):")
+        for per in (4, 8, 16, 24):
+            row = []
+            for k1 in (6, 10, 20, 30):
+                ds = []
+                for s in (0, 1):
+                    q, qp, g, gp = make_clustered(
+                        seed=s, per_id_g=per, sigma_g=1.1, sigma_q=1.2
+                    )
+                    plain = compute_retrieval_metrics(q, qp, g, gp)["mAP"]
+                    o = rerank_orders(q, g, top_n=100, k1=k1, k2=3, lam=0.3)
+                    ds.append(
+                        compute_retrieval_metrics(
+                            q, qp, g, gp, boost_idx=o
+                        )["mAP"] - plain
+                    )
+                row.append(f"k1={k1}:{min(ds):+.3f}")
+            print(f"  per_id_g={per:2d}  " + "  ".join(row), flush=True)
+        return
 
     # Regime calibration (measured): re-ranking's gain window is steep in
     # BOTH noise axes.  sigma_q beyond ~1.3x sigma_g buries the query's true
