@@ -45,10 +45,10 @@ RECORDED_WINNER = "onesaug_tanh"  # docs/performance.md round-3 headline
 # tools/trace_train.py --no-trace.  The round-3 -> round-4 toolchain drift
 # (~-15% at identical configs) was caught only incidentally (VERDICT r4);
 # this probe makes the train step part of the watch.  Same
-# reproduce-before-report rule as the matmul probes.  None = no donation
-# yet on this toolchain: the watch prints the measurement and asks for a
-# record instead of judging.
-RECORDED_TRAIN_ITS = None  # filled by the round-5 chip session donation
+# reproduce-before-report rule as the matmul probes.
+# Record: round-5 chip session (2026-08-20), the same-day A/B matrix's
+# 8x4:stored row (tools/train_ab.py -> docs/performance.md train table).
+RECORDED_TRAIN_ITS = 6.59
 TRAIN_TOLERANCE = 0.15
 
 
