@@ -287,10 +287,20 @@ class TrainingConfig:
     # cosine-similar to CLS, plus one merged token carrying the mean of the
     # dropped ones ('merge') or nothing ('prune').  INEXACT: may only become
     # the bench headline through BOTH promotion gates (min-cosine >= 0.999
-    # AND ranking equivalence).  0 = off.  Training never reduces tokens.
+    # AND ranking equivalence).  0 = off.  Training never reduces tokens
+    # unless token_reduce_train is set (below).
     token_keep: int = 0
     token_reduce_layer: int = 6
     token_reduce_mode: str = "merge"  # 'merge' | 'prune'
+    # Apply the token reduction during TRAINING too (fine-tune WITH the
+    # reduction so the model concentrates identity evidence in the kept
+    # tokens — the ROADMAP standby's "token-keep fine-tuning" step).  The
+    # reduction is differentiable: gradients flow to the kept tokens through
+    # the top-k gather and to all dropped tokens through the merged summary
+    # token.  Top-k is deterministic, so resume stays bit-reproducible.
+    # Default off: zero-shot reduction on a model trained full-token fails
+    # the ranking gate (docs/performance.md round-5 table).
+    token_reduce_train: bool = False
 
     # populated at runtime
     num_classes: Optional[int] = None
@@ -398,6 +408,12 @@ class TrainingConfig:
             raise ValueError(
                 f"token_reduce_layer={self.token_reduce_layer} must be in "
                 f"[1, vision_layers-1={self.vision_layers - 1}]"
+            )
+        if self.token_reduce_train and self.token_keep == 0:
+            # a silent no-op here would "train with reduction" without
+            # reducing anything — loud rejection like the impl selectors
+            raise ValueError(
+                "token_reduce_train=True requires token_keep > 0"
             )
         if self.num_workers < -1:
             raise ValueError(

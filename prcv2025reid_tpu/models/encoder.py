@@ -54,6 +54,7 @@ class UnifiedEncoder(nn.Module):
     token_keep: int = 0  # eval-path token reduction (see configs.py)
     token_reduce_layer: int = 6
     token_reduce_mode: str = "merge"
+    token_reduce_train: bool = False  # reduce during training too (fine-tune)
 
     @classmethod
     def from_config(cls, config: TrainingConfig, dtype=None) -> "UnifiedEncoder":
@@ -89,6 +90,7 @@ class UnifiedEncoder(nn.Module):
             token_keep=config.token_keep,
             token_reduce_layer=config.token_reduce_layer,
             token_reduce_mode=config.token_reduce_mode,
+            token_reduce_train=config.token_reduce_train,
         )
 
     def setup(self):
@@ -119,6 +121,7 @@ class UnifiedEncoder(nn.Module):
             token_keep=self.token_keep,
             token_reduce_layer=self.token_reduce_layer,
             token_reduce_mode=self.token_reduce_mode,
+            token_reduce_train=self.token_reduce_train,
         )
         self.text = TextTower(
             vocab_size=self.text_vocab,

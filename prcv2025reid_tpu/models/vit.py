@@ -111,10 +111,16 @@ class MERVisionTransformer(nn.Module):
     # to CLS (+ one merged token carrying the dropped content in 'merge'
     # mode), shrinking every upper block's [S, D] work.  INEXACT — may only
     # become a headline path through bench.py's two promotion gates
-    # (min-cosine + ranking equivalence).  0 = off.  Training never reduces.
+    # (min-cosine + ranking equivalence).  0 = off.  Training never reduces
+    # unless token_reduce_train is set: fine-tuning WITH the reduction lets
+    # the model concentrate identity evidence in the kept tokens (the
+    # ROADMAP standby's token-keep fine-tuning step).  The reduction is
+    # differentiable — top-k gather backprops to kept tokens, the merged
+    # summary token to all dropped ones — and deterministic (lax.top_k).
     token_keep: int = 0
     token_reduce_layer: int = 6
     token_reduce_mode: str = "merge"  # "merge" | "prune"
+    token_reduce_train: bool = False
 
     def setup(self):
         num_patches = (self.image_size // self.patch_size) ** 2
@@ -224,14 +230,14 @@ class MERVisionTransformer(nn.Module):
         # row's residual branches — math stays exact); under remat the last
         # block stays on the plain rematted __call__ (cls_only through the
         # lifted-transform wrapper is not remat-covered).
+        reduce_after = (
+            self.token_reduce_layer - 1
+            if (deterministic or self.token_reduce_train)
+            and 0 < self.token_keep < x.shape[2] - 1
+            and 0 < self.token_reduce_layer < self.num_layers
+            else None
+        )
         if deterministic or not self.remat_blocks:
-            reduce_after = (
-                self.token_reduce_layer - 1
-                if deterministic
-                and 0 < self.token_keep < x.shape[2] - 1
-                and 0 < self.token_reduce_layer < self.num_layers
-                else None
-            )
             for i, block in enumerate(self.blocks[:-1]):
                 x = block(x, expert_ids, deterministic)
                 if i == reduce_after:
@@ -242,8 +248,12 @@ class MERVisionTransformer(nn.Module):
             cls = ln_apply(cls, *self.ln_final())
             return self.proj(cls)
 
-        for block in self.blocks:
+        # training under remat: the reduction sits BETWEEN rematted block
+        # calls, so it is stored (not recomputed) — negligible at [G,B,K,D]
+        for i, block in enumerate(self.blocks):
             x = block(x, expert_ids, deterministic)
+            if i == reduce_after:
+                x = self._reduce_tokens(x)
         cls = ln_apply(x[:, :, 0], *self.ln_final())
         return self.proj(cls)
 

@@ -156,6 +156,119 @@ class TestTokenReduction:
             TrainingConfig(token_keep=8, token_reduce_layer=0)
         with pytest.raises(ValueError, match="token_keep"):
             TrainingConfig(token_keep=-1)
+        with pytest.raises(ValueError, match="token_reduce_train"):
+            TrainingConfig(token_reduce_train=True)  # needs token_keep > 0
+
+
+class TestTokenReduceTrain:
+    """token_reduce_train: apply the EViT reduction during TRAINING too —
+    the capability behind the ROADMAP standby's "token-keep fine-tuning"
+    step (train WITH reduction so identity evidence concentrates in the
+    kept tokens).  These pin that the reduction actually runs in the train
+    forward, that gradients flow to params on both sides of the reduce
+    layer, and that the remat path composes."""
+
+    def _model(self, **kw):
+        from prcv2025reid_tpu.models.reid_model import MultiModalReIDModel
+
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.normal(size=(2, 4, 64, 64, 3)), jnp.float32)
+        mask = jnp.ones((2, 4), jnp.float32)
+        tok = jnp.zeros((2, 16), jnp.int32)
+        tm = jnp.ones((2,), jnp.float32)
+        cfg = TrainingConfig(
+            **TINY4, modality_dropout=0.0, dropout_rate=0.0,
+            fusion_dropout=0.0, **kw,
+        )
+        model = MultiModalReIDModel(config=cfg, num_classes=8)
+        v = model.init(
+            {"params": jax.random.PRNGKey(0)}, imgs, mask, tok, tm,
+            train=False,
+        )
+        return model, v, (imgs, mask, tok, tm)
+
+    def _train_fwd(self, model, v, batch):
+        imgs, mask, tok, tm = batch
+        rngs = {
+            "dropout": jax.random.PRNGKey(1),
+            "droppath": jax.random.PRNGKey(2),
+            "moddrop": jax.random.PRNGKey(3),
+        }
+        out, _ = model.apply(
+            v, imgs, mask, tok, tm, train=True,
+            mutable=["batch_stats"], rngs=rngs,
+        )
+        return np.asarray(out["features"])
+
+    def test_train_forward_reduces(self):
+        m0, v0, batch = self._model(token_keep=8, token_reduce_layer=2)
+        m1, v1, _ = self._model(
+            token_keep=8, token_reduce_layer=2, token_reduce_train=True
+        )
+        base = self._train_fwd(m0, v0, batch)  # train never reduces (default)
+        red = self._train_fwd(m1, v1, batch)
+        assert base.shape == red.shape
+        assert np.abs(base - red).max() > 1e-6  # reduction applied in train
+        # and the train forward now matches the (reducing) eval forward
+        # at zero stochasticity: same params, same reduce point
+        imgs, mask, tok, tm = batch
+        ev = m1.apply(
+            v1, imgs, mask, tok, tm, ("vis", "nir", "sk", "cp", "text"),
+            method=m1.encode_subset,
+        )
+        assert np.isfinite(np.asarray(ev)).all()
+
+    def test_gradients_flow_both_sides_of_reduce(self):
+        from prcv2025reid_tpu.models.reid_model import compute_loss
+
+        m, v, batch = self._model(
+            token_keep=8, token_reduce_layer=2, token_reduce_train=True
+        )
+        imgs, mask, tok, tm = batch
+        labels = jnp.asarray([0, 1], jnp.int32)
+        rngs = {
+            "dropout": jax.random.PRNGKey(1),
+            "droppath": jax.random.PRNGKey(2),
+            "moddrop": jax.random.PRNGKey(3),
+        }
+
+        def loss_fn(params):
+            out, _ = m.apply(
+                {**v, "params": params}, imgs, mask, tok, tm, train=True,
+                mutable=["batch_stats"], rngs=rngs,
+            )
+            return compute_loss(out, labels, sdm_weight=0.5)["total_loss"]
+
+        grads = jax.grad(loss_fn)(v["params"])
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+
+        def gnorm(substr):
+            tot = 0.0
+            for path, leaf in flat:
+                if substr in jax.tree_util.keystr(path):
+                    tot += float(jnp.abs(leaf).sum())
+            return tot
+
+        # blocks below (0,1), at (1 -> reduce after), and above (2,3) the
+        # reduce layer all receive gradient, as does the patch embed: the
+        # top-k gather + merged token keep the whole trunk trainable
+        for name in ("block_0", "block_1", "block_2", "block_3",
+                     "patch_embed_vis"):
+            assert gnorm(name) > 0, f"no gradient reached {name}"
+        assert all(np.isfinite(float(jnp.abs(l).max())) for _, l in flat)
+
+    def test_remat_composes_with_train_reduce(self):
+        m0, v0, batch = self._model(
+            token_keep=8, token_reduce_layer=2, remat_blocks=True
+        )
+        m1, v1, _ = self._model(
+            token_keep=8, token_reduce_layer=2, token_reduce_train=True,
+            remat_blocks=True,
+        )
+        base = self._train_fwd(m0, v0, batch)
+        red = self._train_fwd(m1, v1, batch)
+        assert np.abs(base - red).max() > 1e-6  # reduce ran inside remat path
+        assert np.isfinite(red).all()
 
 
 class TestNuDtypeAdamW:

@@ -138,6 +138,9 @@ def main():
     ap.add_argument("--anchors", type=int, default=6)
     ap.add_argument("--artifacts", default=None,
                     help="copy train/eval history CSVs here on success")
+    ap.add_argument("--artifact-prefix", default="flagship_",
+                    help="filename prefix for the copied artifacts (lets "
+                         "A/B arms land next to the baseline run's files)")
     ap.add_argument("--fresh", action="store_true",
                     help="wipe --work before running")
     ap.add_argument("--tiny", action="store_true",
@@ -234,10 +237,11 @@ def main():
 
     if args.artifacts:
         os.makedirs(args.artifacts, exist_ok=True)
+        pre = args.artifact_prefix
         for name in ("train_history.csv", "eval_history.csv"):
             shutil.copy(f"{args.work}/logs/{name}",
-                        os.path.join(args.artifacts, f"flagship_{name}"))
-        with open(os.path.join(args.artifacts, "flagship_summary.json"), "w") as f:
+                        os.path.join(args.artifacts, f"{pre}{name}"))
+        with open(os.path.join(args.artifacts, f"{pre}summary.json"), "w") as f:
             json.dump(summary, f, indent=1)
         print(f"[probe] artifacts -> {args.artifacts}", flush=True)
 
