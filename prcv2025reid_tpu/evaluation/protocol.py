@@ -378,6 +378,12 @@ NUMERICS_PATH_FIELDS = (
     ("use_fused_mlp", False),
     ("gelu_impl", "erf"),
     ("compute_dtype", "bfloat16"),
+    # token reduction is INEXACT — features embedded with a different keep
+    # set must never share a cache entry (layer/mode only matter when
+    # token_keep > 0, which the tag then also carries)
+    ("token_keep", 0),
+    ("token_reduce_layer", 6),
+    ("token_reduce_mode", "merge"),
 )
 
 

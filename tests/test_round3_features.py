@@ -39,6 +39,8 @@ class TestCacheTag:
             ("use_fused_mlp", True),
             ("gelu_impl", "tanh"),
             ("compute_dtype", "float32"),
+            ("token_keep", 94),
+            ("token_reduce_mode", "prune"),
         ],
     )
     def test_numerics_selectors_change_tag(self, field, value):

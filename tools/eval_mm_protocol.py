@@ -77,6 +77,13 @@ def main(argv=None):
         help="override the GELU formulation for embedding",
     )
     ap.add_argument(
+        "--token_keep", type=int, default=None,
+        help="override eval-path token reduction (0 disables; >0 keeps that "
+        "many patch tokens after the checkpoint's token_reduce_layer).  Use "
+        "0 to A/B a token-reduce-trained checkpoint against its full-token "
+        "embedding; cache tags separate the two paths automatically",
+    )
+    ap.add_argument(
         "--rerank", action=argparse.BooleanOptionalAction, default=False,
         help="k-reciprocal re-ranking of each query's cosine top-N head "
         "(evaluation/rerank.py; standard ReID mAP booster — the reference "
@@ -146,9 +153,15 @@ def main(argv=None):
             ("block_impl", args.block_impl),
             ("attn_backend", args.attn_backend),
             ("gelu_impl", args.gelu_impl),
+            ("token_keep", args.token_keep),
         )
         if v is not None
     }
+    if args.token_keep == 0:
+        # a token-reduce-TRAINED checkpoint carries token_reduce_train=True,
+        # which config validation rejects at token_keep=0; eval never
+        # trains, so the flag is moot here
+        overrides["token_reduce_train"] = False
     if overrides:
         config = config.replace(**overrides)
     num_classes = host["num_classes"]
